@@ -1,0 +1,49 @@
+"""Pipeline constants.
+
+Values mirror the reference defaults:
+
+- ``BINARY_THRESH`` / ``BOX_THRESH`` / ``MAX_CANDIDATES`` / ``EXPAND_RATIO``:
+  DBPostprocess defaults (reference ``tools/infer/text/postprocess.py:17-34``,
+  ``mindocr/postprocess/det_db_postprocess.py:16-60``).
+- ``DROP_SCORE``: system-pipeline confidence filter (reference
+  ``tools/infer/text/config.py:123``, applied ``predict_system.py:327-336``).
+- ``CHARSET``: default 36-char lowercase-alnum dict with the CTC blank
+  appended last (reference ``mindocr/postprocess/rec_postprocess.py:57-99``).
+- ``REC_TARGET_HEIGHT``: recognition input height (reference
+  ``mindocr/data/transforms/rec_transforms.py:548-636`` uses 32 for CRNN).
+- ``DET_LIMIT_SIDE`` / divisor 32: DetResize defaults (reference
+  ``mindocr/data/transforms/det_transforms.py:375-550``).
+"""
+
+from __future__ import annotations
+
+# --- detection ---------------------------------------------------------
+BINARY_THRESH = 0.3
+BOX_THRESH = 0.6
+MAX_CANDIDATES = 1000
+EXPAND_RATIO = 1.5
+MIN_SIDE_BEFORE_UNCLIP = 3
+MIN_SIDE_AFTER_UNCLIP = 5
+DET_LIMIT_SIDE = 960
+DET_DIVISOR = 32
+
+# --- recognition -------------------------------------------------------
+CHARSET = "0123456789abcdefghijklmnopqrstuvwxyz"
+NUM_CLASSES = len(CHARSET) + 1  # +1 CTC blank, appended last
+BLANK_IDX = len(CHARSET)
+REC_TARGET_HEIGHT = 32
+REC_MAX_WH_RATIO = 32.0  # width cap = target_h * max_wh_ratio
+REC_BATCH_NUM = 8  # model micro-batch inside a UDF Arrow batch
+
+# --- classification ----------------------------------------------------
+CLS_LABELS = ("0", "180")
+CLS_THRESH = 0.9  # rotate only when confident (reference predict_system.py:300-304)
+
+# --- merge -------------------------------------------------------------
+DROP_SCORE = 0.5
+SORTED_BOXES_YTOL = 10  # same-line tolerance (reference utils.py:95-103)
+
+# --- spark tuning ------------------------------------------------------
+ARROW_MAX_RECORDS = 64  # heavy binary rows: keep Arrow batches small
+SHUFFLE_PARTITIONS = 32
+SKEW_SALT_BUCKETS = 8  # salting for media-heavy docs

@@ -1,0 +1,206 @@
+"""Pure-numpy polygon geometry (hull, min-area rect, offset, IoU).
+
+Replaces the reference's cv2/shapely/pyclipper geometry:
+
+- ``min_area_rect`` ~ ``cv2.minAreaRect`` + ``cv2.boxPoints``
+  (``mindocr/postprocess/det_db_postprocess.py:142-174``).
+- ``order_points_clockwise`` ~ ``tools/infer/text/predict_det.py:151-161``.
+- ``offset_convex_poly`` ~ pyclipper unclip ``expand_poly``
+  (``mindocr/data/transforms/det_transforms.py:553-556``), exact for convex
+  polygons (our rects always are).
+- ``poly_iou`` ~ shapely intersection/union used by DetMetric
+  (``mindocr/metrics/det_metrics.py:14-19``) via Sutherland–Hodgman clipping.
+- ``rescale_polys`` ~ ``det_base_postprocess.py:110-125``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain. points (N,2) -> hull (M,2) counter-clockwise
+    in image coords (y down), no duplicate endpoint."""
+    pts = np.unique(points.astype(np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort by (x, y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Minimum-area enclosing rectangle via rotating calipers.
+
+    Returns (corners (4,2) float64, short_side, long_side). Corners are in
+    clockwise order starting top-left (see ``order_points_clockwise``).
+    """
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        c = np.tile(hull[0], (4, 1))
+        return c, 0.0, 0.0
+    if len(hull) == 2:
+        a, b = hull
+        corners = np.array([a, b, b, a], dtype=np.float64)
+        side = float(np.linalg.norm(b - a))
+        return order_points_clockwise(corners), 0.0, side
+    edges = np.roll(hull, -1, axis=0) - hull
+    angles = np.arctan2(edges[:, 1], edges[:, 0])
+    best = None
+    for ang in np.unique(np.mod(angles, np.pi / 2)):
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, s], [-s, c]])
+        proj = hull @ rot.T
+        mn = proj.min(axis=0)
+        mx = proj.max(axis=0)
+        area = float((mx[0] - mn[0]) * (mx[1] - mn[1]))
+        if best is None or area < best[0] - 1e-9:
+            best = (area, ang, mn, mx)
+    _, ang, mn, mx = best
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, s], [-s, c]])
+    rect = np.array(
+        [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
+    )
+    corners = rect @ rot  # inverse rotation (rot is orthonormal)
+    w = float(mx[0] - mn[0])
+    h = float(mx[1] - mn[1])
+    return order_points_clockwise(corners), float(min(w, h)), float(max(w, h))
+
+
+def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
+    """Canonical quad vertex order: top-left, top-right, bottom-right,
+    bottom-left — by coordinate sums/diffs (``predict_det.py:151-161``)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    s = pts.sum(axis=1)
+    d = pts[:, 0] - pts[:, 1]  # x - y
+    tl = pts[np.argmin(s)]
+    br = pts[np.argmax(s)]
+    tr = pts[np.argmax(d)]
+    bl = pts[np.argmin(d)]
+    return np.array([tl, tr, br, bl], dtype=np.float64)
+
+
+def poly_area_perimeter(poly: np.ndarray) -> tuple[float, float]:
+    """Shoelace area (abs) and perimeter of a closed polygon (N,2)."""
+    p = np.asarray(poly, dtype=np.float64)
+    x, y = p[:, 0], p[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    per = float(np.linalg.norm(np.roll(p, -1, axis=0) - p, axis=1).sum())
+    return float(area), per
+
+
+def offset_convex_poly(poly: np.ndarray, distance: float) -> np.ndarray:
+    """Offset a convex polygon outward by ``distance`` (pyclipper-unclip
+    equivalent for convex input): shift each edge along its outward normal,
+    re-intersect adjacent edges."""
+    p = np.asarray(poly, dtype=np.float64)
+    n = len(p)
+    # polygon orientation (shoelace sign); image coords y-down
+    x, y = p[:, 0], p[:, 1]
+    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    sign = 1.0 if signed > 0 else -1.0
+    lines = []  # (point_on_line, direction)
+    for i in range(n):
+        a, b = p[i], p[(i + 1) % n]
+        e = b - a
+        ln = np.linalg.norm(e)
+        if ln < 1e-12:
+            continue
+        e = e / ln
+        normal = sign * np.array([e[1], -e[0]])  # outward
+        lines.append((a + normal * distance, e))
+    m = len(lines)
+    out = np.zeros((m, 2), dtype=np.float64)
+    for i in range(m):
+        (p1, d1) = lines[i - 1]
+        (p2, d2) = lines[i]
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(denom) < 1e-12:
+            out[i] = p2
+        else:
+            t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / denom
+            out[i] = p1 + t * d1
+    return out
+
+
+def unclip(poly: np.ndarray, expand_ratio: float) -> np.ndarray:
+    """DB unclip: offset by area*ratio/perimeter
+    (``det_transforms.py:553-556``; used ``det_db_postprocess.py:113-118``)."""
+    area, per = poly_area_perimeter(poly)
+    if per <= 1e-9:
+        return np.asarray(poly, dtype=np.float64)
+    return offset_convex_poly(poly, area * expand_ratio / per)
+
+
+def rescale_polys(
+    polys: np.ndarray, scale_h: float, scale_w: float, src_h: int, src_w: int
+) -> np.ndarray:
+    """Map polys from resized to source space: clip(round(p/scale), 0, size-1)
+    (``mindocr/postprocess/det_base_postprocess.py:110-125``)."""
+    out = np.asarray(polys, dtype=np.float64).copy()
+    out[..., 0] = np.clip(np.round(out[..., 0] / scale_w), 0, src_w - 1)
+    out[..., 1] = np.clip(np.round(out[..., 1] / scale_h), 0, src_h - 1)
+    return out.astype(np.int64)
+
+
+def _clip_poly_halfplane(poly: list, a: np.ndarray, b: np.ndarray) -> list:
+    """Sutherland–Hodgman: keep points left of directed edge a->b."""
+    out = []
+    n = len(poly)
+    for i in range(n):
+        cur, nxt = poly[i], poly[(i + 1) % n]
+        d_cur = (b[0] - a[0]) * (cur[1] - a[1]) - (b[1] - a[1]) * (cur[0] - a[0])
+        d_nxt = (b[0] - a[0]) * (nxt[1] - a[1]) - (b[1] - a[1]) * (nxt[0] - a[0])
+        if d_cur >= 0:
+            out.append(cur)
+        if (d_cur > 0) != (d_nxt > 0) and d_cur != d_nxt:
+            t = d_cur / (d_cur - d_nxt)
+            out.append(cur + t * (nxt - cur))
+    return out
+
+
+def poly_intersection_area(p1: np.ndarray, p2: np.ndarray) -> float:
+    """Area of intersection of two convex polygons (both any winding)."""
+
+    def ccw(p):
+        p = np.asarray(p, dtype=np.float64)
+        x, y = p[:, 0], p[:, 1]
+        s = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        return p if s > 0 else p[::-1]
+
+    clip = ccw(p2)
+    poly = [pt for pt in ccw(p1)]
+    for i in range(len(clip)):
+        if not poly:
+            return 0.0
+        poly = _clip_poly_halfplane(poly, clip[i], clip[(i + 1) % len(clip)])
+    if len(poly) < 3:
+        return 0.0
+    arr = np.asarray(poly)
+    area, _ = poly_area_perimeter(arr)
+    return area
+
+
+def poly_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    """IoU of two convex quads (``det_metrics.py:14-19`` semantics)."""
+    inter = poly_intersection_area(p1, p2)
+    a1, _ = poly_area_perimeter(np.asarray(p1, dtype=np.float64))
+    a2, _ = poly_area_perimeter(np.asarray(p2, dtype=np.float64))
+    union = a1 + a2 - inter
+    return inter / union if union > 1e-12 else 0.0

@@ -1,0 +1,201 @@
+"""Pure-numpy image kernels (resize, filter, connected components, warp).
+
+Replaces the reference's OpenCV calls with deterministic numpy so the oracle
+and the Spark UDFs share identical code paths:
+
+- ``resize_bilinear`` ~ ``cv2.resize`` used by DetResize/RecResize
+  (``mindocr/data/transforms/det_transforms.py:375-550``,
+  ``rec_transforms.py:548-636``).
+- ``box_filter`` ~ the smoothing implicit in a conv-net probability head.
+- ``connected_components`` ~ ``cv2.findContours`` component discovery
+  (``mindocr/postprocess/det_db_postprocess.py:90``).
+- ``warp_perspective_crop`` ~ ``crop_text_region``'s
+  getPerspectiveTransform+warpPerspective (``tools/infer/text/utils/utils.py:50-92``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic bilinear resize, float32 out. img: (H,W) or (H,W,C) uint8/float."""
+    h, w = img.shape[:2]
+    out_h, out_w = max(1, int(out_h)), max(1, int(out_w))
+    if (h, w) == (out_h, out_w):
+        return img.astype(np.float32)
+    src = img.astype(np.float32)
+    # align like cv2 (half-pixel centers)
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)
+    if src.ndim == 2:
+        a = src[np.ix_(y0, x0)]
+        b = src[np.ix_(y0, x1)]
+        c = src[np.ix_(y1, x0)]
+        d = src[np.ix_(y1, x1)]
+        top = a + (b - a) * wx[None, :]
+        bot = c + (d - c) * wx[None, :]
+        return (top + (bot - top) * wy[:, None]).astype(np.float32)
+    a = src[np.ix_(y0, x0)]
+    b = src[np.ix_(y0, x1)]
+    c = src[np.ix_(y1, x0)]
+    d = src[np.ix_(y1, x1)]
+    top = a + (b - a) * wx[None, :, None]
+    bot = c + (d - c) * wx[None, :, None]
+    return (top + (bot - top) * wy[:, None, None]).astype(np.float32)
+
+
+def box_filter(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k mean filter via integral image (edge-replicated), float32."""
+    if k <= 1:
+        return img.astype(np.float32)
+    h, w = img.shape
+    r = k // 2
+    pad = np.pad(img.astype(np.float64), r, mode="edge")
+    ii = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(pad, axis=0), axis=1)
+    k2 = 2 * r + 1
+    s = (
+        ii[k2 : k2 + h, k2 : k2 + w]
+        - ii[:h, k2 : k2 + w]
+        - ii[k2 : k2 + h, :w]
+        + ii[:h, :w]
+    )
+    return (s / (k2 * k2)).astype(np.float32)
+
+
+def connected_components(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a boolean mask via row-run union-find.
+
+    Returns a list of (n_i, 2) int arrays of (y, x) pixel coordinates, ordered
+    by component top-left (deterministic). Pure numpy + O(#runs) python.
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    runs: list[tuple[int, int, int, int]] = []  # (y, x0, x1_exclusive, label)
+    prev_row_runs: list[tuple[int, int, int]] = []  # (x0, x1_exclusive, label)
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_row_runs = []
+            continue
+        padded = np.concatenate(([False], row, [False]))
+        d = np.diff(padded.astype(np.int8))
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]  # exclusive
+        cur: list[tuple[int, int, int]] = []
+        for x0, x1 in zip(starts, ends):
+            x0, x1 = int(x0), int(x1)
+            lbl = len(parent)
+            parent.append(lbl)
+            # 8-connectivity: [x0,x1) touches [px0,px1) iff x0 <= px1 and px0 <= x1
+            for px0, px1, plbl in prev_row_runs:
+                if x0 <= px1 and px0 <= x1:
+                    union(lbl, plbl)
+            runs.append((y, x0, x1, lbl))
+            cur.append((x0, x1, lbl))
+        prev_row_runs = cur
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for y, x0, x1, lbl in runs:
+        groups.setdefault(find(lbl), []).append((y, x0, x1))
+    comps: list[np.ndarray] = []
+    for _, g in sorted(groups.items()):
+        pts = [
+            np.stack(
+                [np.full(x1 - x0, y, dtype=np.int64), np.arange(x0, x1, dtype=np.int64)],
+                axis=1,
+            )
+            for y, x0, x1 in g
+        ]
+        comps.append(np.concatenate(pts, axis=0))
+    comps.sort(key=lambda p: (int(p[:, 0].min()), int(p[:, 1].min())))
+    return comps
+
+
+def _homography(src_quad: np.ndarray, dst_quad: np.ndarray) -> np.ndarray:
+    """3x3 H with dst -> src mapping solved from 4 point pairs (like
+    cv2.getPerspectiveTransform, then inverted use)."""
+    a = []
+    b = []
+    for (xs, ys), (xd, yd) in zip(src_quad, dst_quad):
+        a.append([xd, yd, 1, 0, 0, 0, -xs * xd, -xs * yd])
+        a.append([0, 0, 0, xd, yd, 1, -ys * xd, -ys * yd])
+        b.extend([xs, ys])
+    coef = np.linalg.solve(np.array(a, dtype=np.float64), np.array(b, dtype=np.float64))
+    return np.append(coef, 1.0).reshape(3, 3)
+
+
+def warp_perspective_crop(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """4-pt perspective crop to an axis-aligned rectangle (float32 gray out).
+
+    Mirrors ``crop_text_region`` (``tools/infer/text/utils/utils.py:50-92``):
+    output size from the quad's edge lengths, bilinear sampling, replicated
+    border, then rotate 90 ccw if out_h/out_w >= 1.5.
+    """
+    quad = np.asarray(quad, dtype=np.float64)
+    w_out = int(
+        round(
+            max(
+                np.linalg.norm(quad[0] - quad[1]),
+                np.linalg.norm(quad[2] - quad[3]),
+            )
+        )
+    )
+    h_out = int(
+        round(
+            max(
+                np.linalg.norm(quad[0] - quad[3]),
+                np.linalg.norm(quad[1] - quad[2]),
+            )
+        )
+    )
+    w_out, h_out = max(w_out, 1), max(h_out, 1)
+    dst = np.array([[0, 0], [w_out - 1, 0], [w_out - 1, h_out - 1], [0, h_out - 1]], dtype=np.float64)
+    hmat = _homography(quad, dst)
+    xs, ys = np.meshgrid(np.arange(w_out, dtype=np.float64), np.arange(h_out, dtype=np.float64))
+    denom = hmat[2, 0] * xs + hmat[2, 1] * ys + hmat[2, 2]
+    sx = (hmat[0, 0] * xs + hmat[0, 1] * ys + hmat[0, 2]) / denom
+    sy = (hmat[1, 0] * xs + hmat[1, 1] * ys + hmat[1, 2]) / denom
+    h, w = img.shape[:2]
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sx - x0).astype(np.float32)
+    fy = (sy - y0).astype(np.float32)
+    src = img.astype(np.float32)
+    out = (
+        src[y0, x0] * (1 - fx) * (1 - fy)
+        + src[y0, x1] * fx * (1 - fy)
+        + src[y1, x0] * (1 - fx) * fy
+        + src[y1, x1] * fx * fy
+    )
+    if h_out / max(w_out, 1) >= 1.5:
+        out = np.rot90(out).copy()  # auto-rotate tall crops (utils.py:86-90)
+    return out.astype(np.float32)
+
+
+def rotate180(img: np.ndarray) -> np.ndarray:
+    """180-degree rotation (the cls stage's corrective action,
+    ``predict_system.py:300-304`` / ``img_rotate`` utils.py:240-257)."""
+    return img[::-1, ::-1].copy()

@@ -1,0 +1,131 @@
+"""Recognition scorer: crop -> CTC logits via glyph template matching.
+
+``rec_resize_norm`` mirrors RecResizeNormForInfer (keep-ratio resize to
+target height 32, width capped at ``target_h * max_wh_ratio``;
+``mindocr/data/transforms/rec_transforms.py:548-636``).
+
+``rec_logits`` is the deterministic stand-in for the CRNN/CTC forward: the
+binarized crop is segmented into ink column-runs (glyph candidates), each
+glyph is area-resampled to the 7x5 font grid and matched against all 36
+templates; output is a (T, 37) prob array with blanks between glyph steps,
+satisfying the reference's rec contract ``[T, num_classes]``
+(``rec_postprocess.py:139-157``) so ``ctc_greedy_decode`` applies unchanged.
+Confidence therefore equals the mean template-match similarity of the kept
+characters — garbage crops score low and fall to the drop-score filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import BLANK_IDX, NUM_CLASSES, REC_MAX_WH_RATIO, REC_TARGET_HEIGHT
+from ..functions.glyphs import GLYPH_H, GLYPH_W, templates
+from ..functions.imaging import resize_bilinear
+
+_INK_THRESH = 128.0
+
+
+def rec_resize_norm(crop: np.ndarray) -> np.ndarray:
+    """Crop (float gray) -> float32 (32, W') keep-ratio, W' capped."""
+    h, w = crop.shape[:2]
+    target_h = REC_TARGET_HEIGHT
+    ratio = target_h / max(h, 1)
+    target_w = max(1, int(round(w * ratio)))
+    max_w = int(target_h * REC_MAX_WH_RATIO)
+    target_w = min(target_w, max_w)
+    return resize_bilinear(crop, target_h, target_w)
+
+
+def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average resample (like cv2 INTER_AREA) via the integral
+    image evaluated at fractional cell boundaries."""
+    h, w = img.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+
+    def sample(yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
+        # bilinear interpolation of the integral image == exact integral for
+        # piecewise-constant pixels
+        y0 = np.clip(np.floor(yy).astype(int), 0, h)
+        x0 = np.clip(np.floor(xx).astype(int), 0, w)
+        y1 = np.minimum(y0 + 1, h)
+        x1 = np.minimum(x0 + 1, w)
+        fy = yy - y0
+        fx = xx - x0
+        a = ii[np.ix_(y0, x0)]
+        b = ii[np.ix_(y0, x1)]
+        c = ii[np.ix_(y1, x0)]
+        d = ii[np.ix_(y1, x1)]
+        top = a + (b - a) * fx[None, :]
+        bot = c + (d - c) * fx[None, :]
+        return top + (bot - top) * fy[:, None]
+
+    ys = np.linspace(0, h, out_h + 1)
+    xs = np.linspace(0, w, out_w + 1)
+    grid = sample(ys, xs)
+    cell = (
+        grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]
+    )
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    return (cell / areas).astype(np.float32)
+
+
+def _segment_glyphs(ink: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Binary ink mask -> list of glyph boxes (y0, y1, x0, x1) from column
+    runs; each run's row extent is its own ink bounding rows."""
+    cols = ink.any(axis=0)
+    if not cols.any():
+        return []
+    padded = np.concatenate(([False], cols, [False]))
+    d = np.diff(padded.astype(np.int8))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    boxes = []
+    for x0, x1 in zip(starts, ends):
+        rows = np.nonzero(ink[:, x0:x1].any(axis=1))[0]
+        boxes.append((int(rows[0]), int(rows[-1]) + 1, int(x0), int(x1)))
+    return boxes
+
+
+_BBOX_TEMPLATES: np.ndarray | None = None
+
+
+def _bbox_templates() -> np.ndarray:
+    """Templates cropped to their own ink bbox then resampled to 7x5 — the
+    shape-normalized frame glyph patches are compared in (a crop carries no
+    baseline metadata, so matching must be translation/scale invariant)."""
+    global _BBOX_TEMPLATES
+    if _BBOX_TEMPLATES is None:
+        out = []
+        for t in templates():
+            rows = np.nonzero(t.any(axis=1))[0]
+            cols = np.nonzero(t.any(axis=0))[0]
+            patch = t[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+            out.append(area_resize(patch.astype(np.float32), GLYPH_H, GLYPH_W) >= 0.5)
+        _BBOX_TEMPLATES = np.stack(out).astype(np.float32)
+    return _BBOX_TEMPLATES
+
+
+def match_glyph(patch_ink: np.ndarray) -> np.ndarray:
+    """Binary glyph patch (its own ink bbox) -> similarity scores (36,)."""
+    grid = area_resize(patch_ink.astype(np.float32), GLYPH_H, GLYPH_W)
+    bitmap = (grid >= 0.5).astype(np.float32)
+    t = _bbox_templates()  # (36,7,5)
+    return 1.0 - np.abs(t - bitmap[None]).mean(axis=(1, 2))
+
+
+def rec_logits(resized_crop: np.ndarray) -> np.ndarray:
+    """(32, W) float crop -> (T, 37) probs; blank-sandwiched glyph steps."""
+    ink = resized_crop < _INK_THRESH
+    boxes = _segment_glyphs(ink)
+    steps: list[np.ndarray] = []
+    blank = np.zeros(NUM_CLASSES, dtype=np.float32)
+    blank[BLANK_IDX] = 1.0
+    steps.append(blank)
+    for y0, y1, x0, x1 in boxes:
+        sims = match_glyph(ink[y0:y1, x0:x1])
+        row = np.zeros(NUM_CLASSES, dtype=np.float32)
+        row[: len(sims)] = sims
+        steps.append(row)
+        steps.append(blank)
+    return np.stack(steps).astype(np.float32)

@@ -1,0 +1,80 @@
+"""Per-image OCR system: detect -> sort -> crop -> cls -> rec -> merge.
+
+This is the single-image core of the reference's ``TextSystem.__call__``
+(``tools/infer/text/predict_system.py:255-355``), shared verbatim between
+the single-process oracle and the Spark media-path UDFs. Exposed in stages
+so the Spark plan can explode at crop level for skew handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CLS_LABELS, CLS_THRESH, DROP_SCORE
+from ..functions.ctc import ctc_greedy_decode
+from ..functions.imaging import rotate180, warp_perspective_crop
+from ..functions.ordering import sorted_boxes
+from .cls import cls_probs
+from .det import db_postprocess, det_resize, det_score, validate_det_res
+from .rec import rec_logits, rec_resize_norm
+
+
+def detect_boxes(img: np.ndarray) -> list[np.ndarray]:
+    """Gray uint8 image -> reading-ordered int64 (4,2) quads in source coords."""
+    resized, shape_list = det_resize(img)
+    prob = det_score(resized)
+    polys, _scores = db_postprocess(prob, shape_list)
+    polys = validate_det_res(polys, img.shape[0], img.shape[1])
+    order = sorted_boxes(polys)
+    return [polys[i] for i in order]
+
+
+def crop_box(img: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Perspective-crop one quad (``crop_text_region`` semantics)."""
+    return warp_perspective_crop(img, poly.astype(np.float64))
+
+
+def classify_and_rotate(crop: np.ndarray) -> tuple[np.ndarray, str, float]:
+    """Angle-cls a crop; rotate 180 when label=='180' and conf >= thresh
+    (``predict_system.py:294-309``)."""
+    probs = cls_probs(crop)
+    idx = int(probs.argmax())
+    label, conf = CLS_LABELS[idx], float(probs[idx])
+    if label == "180" and conf >= CLS_THRESH:
+        crop = rotate180(crop)
+    return crop, label, conf
+
+
+def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
+    """Crop -> (text, confidence) via resize-norm + template logits + CTC."""
+    resized = rec_resize_norm(crop)
+    return ctc_greedy_decode(rec_logits(resized))
+
+
+def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:
+    """Full per-image system; returns kept records in reading order:
+    ``[{"transcription": str, "score": float, "points": [[x,y]x4]}]``
+    with the drop-score filter applied (``predict_system.py:327-336``)."""
+    records: list[dict] = []
+    for poly in detect_boxes(img):
+        crop = crop_box(img, poly)
+        if use_cls:
+            crop, _label, _conf = classify_and_rotate(crop)
+        text, conf = recognize_crop(crop)
+        if not text or conf < DROP_SCORE:
+            continue
+        records.append(
+            {
+                "transcription": text,
+                "score": conf,
+                "points": poly.astype(int).tolist(),
+            }
+        )
+    return records
+
+
+def media_span_text(img: np.ndarray, use_cls: bool = True) -> str:
+    """The extracted text of one media span: kept transcriptions in reading
+    order joined by single spaces (join convention from
+    ``predict_table_e2e.py:186-189``; ordering ``utils.py:95-103``)."""
+    return " ".join(r["transcription"] for r in ocr_image(img, use_cls=use_cls))

@@ -1,0 +1,161 @@
+"""Media-span path: decode -> detect -> crop -> cls -> rec as mapInPandas
+stages over Arrow batches (SURVEY.md §3.1 Spark rebuild).
+
+Two physical strategies, same semantics:
+
+- **fused**: one ``mapInPandas`` runs the whole per-image system
+  (``kernels.system.ocr_image``). Zero extra shuffle; per-row cost bounded
+  by the reference's own ``max_candidates=1000`` cap. Best when box counts
+  per image are modest.
+- **exploded**: a det stage emits one output row per crop (the reference's
+  ``DetPostNode`` crop fan-out, ``det_post_node.py:19-52``), letting Spark
+  redistribute recognition work across executors — the skew answer for
+  1000-box images. Crops travel as raw float32 bytes + dims (cheaper than
+  re-encoding PNG); order is preserved by an explicit ``box_idx`` from the
+  reading-order sort, never by row order.
+
+Both share every kernel bit-for-bit with the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import DROP_SCORE
+from ..functions.png_codec import decode_png
+from ..kernels.system import (
+    classify_and_rotate,
+    crop_box,
+    detect_boxes,
+    media_span_text,
+    ocr_image,
+    recognize_crop,
+)
+
+# schemas for mapInPandas stages
+FUSED_SCHEMA = "doc_id string, offset int, media_ref string, text string"
+DET_CROPS_SCHEMA = (
+    "doc_id string, offset int, media_ref string, box_idx int, "
+    "crop binary, crop_h int, crop_w int"
+)
+REC_SCHEMA = (
+    "doc_id string, offset int, media_ref string, box_idx int, "
+    "text string, conf double"
+)
+
+
+def _safe_decode(png: bytes | None) -> np.ndarray | None:
+    """Decode-failure skip semantics (``decode_node.py:30-42``)."""
+    if png is None:
+        return None
+    try:
+        img = decode_png(bytes(png))
+    except Exception:  # noqa: BLE001 - any junk input -> skip, not fail job
+        return None
+    if img.ndim == 3:  # RGB -> gray (luminance, deterministic integer math)
+        img = (
+            (299 * img[:, :, 0].astype(np.uint32)
+             + 587 * img[:, :, 1].astype(np.uint32)
+             + 114 * img[:, :, 2].astype(np.uint32)) // 1000
+        ).astype(np.uint8)
+    return img
+
+
+def ocr_fused_iter(
+    batches: Iterator[pd.DataFrame], use_cls: bool = True
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, offset, media_ref, image) -> (doc_id, offset, media_ref, text)."""
+    for pdf in batches:
+        texts = []
+        for png in pdf["image"]:
+            img = _safe_decode(png)
+            texts.append("" if img is None else media_span_text(img, use_cls=use_cls))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "media_ref": pdf["media_ref"],
+                "text": texts,
+            }
+        )
+
+
+def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, offset, media_ref, image) -> one row per crop.
+
+    ``box_idx`` is the reading-order index (``sorted_boxes`` applied inside
+    ``detect_boxes``); an image with zero detections emits nothing — the
+    plan restores empty media spans with a left join.
+    """
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "offset": [], "media_ref": [],
+            "box_idx": [], "crop": [], "crop_h": [], "crop_w": [],
+        }
+        for doc_id, offset, media_ref, png in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
+        ):
+            img = _safe_decode(png)
+            if img is None:
+                continue
+            for idx, poly in enumerate(detect_boxes(img)):
+                crop = crop_box(img, poly).astype(np.float32)
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["media_ref"].append(media_ref)
+                out["box_idx"].append(idx)
+                out["crop"].append(crop.tobytes())
+                out["crop_h"].append(crop.shape[0])
+                out["crop_w"].append(crop.shape[1])
+        yield pd.DataFrame(out)
+
+
+def recognize_iter(
+    batches: Iterator[pd.DataFrame], use_cls: bool = True
+) -> Iterator[pd.DataFrame]:
+    """Crop rows -> (…, text, conf): cls-rotate then CTC recognition."""
+    for pdf in batches:
+        texts: list[str] = []
+        confs: list[float] = []
+        for blob, h, w in zip(pdf["crop"], pdf["crop_h"], pdf["crop_w"]):
+            crop = np.frombuffer(blob, dtype=np.float32).reshape(int(h), int(w))
+            if use_cls:
+                crop, _label, _conf = classify_and_rotate(crop)
+            text, conf = recognize_crop(crop)
+            texts.append(text)
+            confs.append(conf)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "media_ref": pdf["media_ref"],
+                "box_idx": pdf["box_idx"],
+                "text": texts,
+                "conf": confs,
+            }
+        )
+
+
+def ocr_records_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(media_ref, image) -> per-image OCR record rows (transcription, score,
+    points json) — the det/system golden-file shape (FIXTURES.md F3)."""
+    import json
+
+    for pdf in batches:
+        out: dict[str, list] = {"media_ref": [], "transcription": [], "score": [], "points": []}
+        for media_ref, png in zip(pdf["media_ref"], pdf["image"]):
+            img = _safe_decode(png)
+            if img is None:
+                continue
+            for rec in ocr_image(img):
+                out["media_ref"].append(media_ref)
+                out["transcription"].append(rec["transcription"])
+                out["score"].append(rec["score"])
+                out["points"].append(json.dumps(rec["points"]))
+        yield pd.DataFrame(out)
+
+
+OCR_RECORDS_SCHEMA = "media_ref string, transcription string, score double, points string"

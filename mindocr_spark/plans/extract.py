@@ -1,0 +1,148 @@
+"""The flagship extraction plan (SURVEY.md §3.1 "Spark rebuild").
+
+One logical DataFrame plan:
+
+::
+
+    read spans -> explode -> route by kind
+      text path : boilerplate-strip pandas UDF
+      media path: join media table -> [fused OCR | det->crops explode->rec]
+                  -> drop-score filter -> per-span reading-order reassembly
+    -> union -> per-doc reassembly ordered by offset -> out_spans
+
+Shuffle inventory (at 10^12-doc scale):
+  1. spans⋈media equi-join on media_ref (bucket both tables by media_ref in
+     storage to make it shuffle-free / storage-partitioned).
+  2. per-span groupBy (doc_id, offset) — only in exploded mode.
+  3. per-doc groupBy doc_id — bucket the spans table by doc_id to bound it.
+AQE skew handling is on (media-heavy docs); in exploded mode recognition
+work is already crop-granular so no salting is needed for the rec stage
+itself — the unit of work is one crop.
+
+Ordering is always explicit: ``box_idx`` within a span, ``offset`` within a
+doc; never implicit row order (SURVEY.md §7.3 risk 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DROP_SCORE
+from ..operators.media_path import (
+    DET_CROPS_SCHEMA,
+    FUSED_SCHEMA,
+    REC_SCHEMA,
+    det_crops_iter,
+    ocr_fused_iter,
+    recognize_iter,
+)
+from ..operators.text_path import extract_main_text_udf
+
+OUT_SPAN_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+)
+
+
+def load_corpus(spark: SparkSession, corpus_dir: str) -> tuple[DataFrame, DataFrame]:
+    spans = spark.read.parquet(f"{corpus_dir}/documents_spans.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    return spans, media
+
+
+def _exploded_spans(spans: DataFrame) -> DataFrame:
+    s = spans.select("doc_id", F.explode("spans").alias("span"))
+    return s.select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("raw_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
+    joined = media_spans.join(media.select("media_ref", "image"), "media_ref")
+    return joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
+        ocr_fused_iter, FUSED_SCHEMA
+    )
+
+
+def _media_texts_exploded(media_spans: DataFrame, media: DataFrame) -> DataFrame:
+    joined = media_spans.join(media.select("media_ref", "image"), "media_ref")
+    crops = joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
+        det_crops_iter, DET_CROPS_SCHEMA
+    )
+    # crop-level redistribution: the unit of rec work is one crop, so a
+    # 1000-box image cannot pin one task (the skew answer; SURVEY.md §4.1).
+    # sortWithinPartitions by aspect ratio mirrors the reference's
+    # width-sorted batching (infer_rec.py:110) to keep Arrow batches shaped
+    # alike inside the rec UDF.
+    crops = crops.repartition(F.col("media_ref"), F.col("box_idx")).sortWithinPartitions(
+        (F.col("crop_w") / F.col("crop_h")).asc()
+    )
+    rec = crops.mapInPandas(recognize_iter, REC_SCHEMA)
+    kept = rec.filter((F.col("conf") >= F.lit(DROP_SCORE)) & (F.col("text") != ""))
+    agg = kept.groupBy("doc_id", "offset", "media_ref").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("box_idx", "text"))),
+                lambda x: x["text"],
+            ),
+        ).alias("text")
+    )
+    # restore media spans with zero kept detections as empty text
+    return (
+        media_spans.select("doc_id", "offset", "media_ref")
+        .join(agg, ["doc_id", "offset", "media_ref"], "left")
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
+def extract(
+    spark: SparkSession,
+    spans: DataFrame,
+    media: DataFrame,
+    mode: str = "fused",
+) -> DataFrame:
+    """Run the full interleaved extraction. Returns (doc_id, out_spans)."""
+    s = _exploded_spans(spans)
+    text_spans = s.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit(None).cast("string").alias("media_ref"),
+        extract_main_text_udf(F.col("raw_text")).alias("text"),
+        F.lit("text").alias("kind"),
+    )
+    media_spans = s.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    if mode == "fused":
+        media_texts = _media_texts_fused(media_spans, media)
+    elif mode == "exploded":
+        media_texts = _media_texts_exploded(media_spans, media)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    media_out = media_texts.select(
+        "doc_id", "offset", "media_ref", "text", F.lit("media").alias("kind")
+    )
+    all_spans = text_spans.unionByName(media_out)
+    return (
+        all_spans.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(arr, (x, i) -> "
+                "struct(x.kind as kind, x.text as text, "
+                "x.media_ref as media_ref, cast(i as int) as order))"
+            )
+            .cast(OUT_SPAN_TYPE)
+            .alias("out_spans"),
+        )
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Tuning rationale (SURVEY.md §4):
+- AQE on: runtime re-plan + skew splitting for media-heavy documents.
+- Arrow on + small ``maxRecordsPerBatch``: media rows carry whole images;
+  a batch of 64 bounds executor-python memory while still amortizing the
+  Arrow IPC boundary (the analogue of the reference's ``rec_batch_num``
+  micro-batching, ``predict_rec.py:139-197``).
+- shuffle partitions sized for local[32]; on a real cluster AQE coalesces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import ARROW_MAX_RECORDS, SHUFFLE_PARTITIONS
+
+
+def get_spark(
+    app_name: str = "mindocr_spark",
+    cores: int | None = None,
+    shuffle_partitions: int = SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    master = None
+    if cores is not None:
+        master = f"local[{cores}]"
+    elif os.environ.get("SPARK_GRAFT_CPUS"):
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled", "true"
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS)
+        )
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    else:
+        builder = builder.master("local[*]")
+    return builder.getOrCreate()

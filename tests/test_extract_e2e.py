@@ -1,0 +1,65 @@
+"""The correctness gate: Spark extraction == single-process oracle,
+span-sequence equality (kind, text, media_ref, order) per document
+(``BASELINE.json:north_rule`` / input_hint invariant)."""
+
+import pytest
+
+from mindocr_spark.oracle.pipeline import extract_documents_oracle
+from mindocr_spark.plans.extract import extract, load_corpus
+
+
+def _spans_tuples(out_spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in out_spans]
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_corpus):
+    _, spans_pdf, media_pdf = small_corpus
+    return extract_documents_oracle(spans_pdf, media_pdf)
+
+
+@pytest.mark.parametrize("mode", ["fused", "exploded"])
+def test_span_sequence_equality(spark, small_corpus, oracle_result, mode):
+    corpus_dir, _, _ = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    rows = extract(spark, spans, media, mode=mode).orderBy("doc_id").collect()
+    assert len(rows) == len(oracle_result)
+    for row, (_, orow) in zip(rows, oracle_result.iterrows()):
+        assert row["doc_id"] == orow["doc_id"]
+        assert _spans_tuples(row["out_spans"]) == _spans_tuples(orow["out_spans"]), (
+            row["doc_id"]
+        )
+
+
+def test_output_schema(spark, small_corpus):
+    corpus_dir, _, _ = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    df = extract(spark, spans, media, mode="fused")
+    fields = dict(df.dtypes)
+    assert fields["doc_id"] == "string"
+    assert (
+        fields["out_spans"]
+        == "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+    )
+
+
+def test_unreadable_media_yields_empty_text(spark, small_corpus):
+    """Decode-failure skip semantics (decode_node.py:30-42)."""
+    import pandas as pd
+
+    corpus_dir, spans_pdf, media_pdf = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    # corrupt every image
+    bad_media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": media_pdf["media_ref"],
+                "image": [b"not a png" for _ in range(len(media_pdf))],
+            }
+        )
+    )
+    rows = extract(spark, spans, bad_media, mode="fused").collect()
+    for row in rows:
+        for s in row["out_spans"]:
+            if s["media_ref"] is not None:
+                assert s["text"] == ""

@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship interleaved text+media extraction on sf0.001;
+``queries`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data-pipeline ops); ``oracle_sql`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query (the OCR pipeline itself is checked by
+its own oracle in tests/ and is rows-only here).
 """
 
 from __future__ import annotations
@@ -15,24 +15,105 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved extraction over a corpus derived from the
+    sf0.001 documents table (HTML text spans + rendered media spans)."""
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.plans.extract import extract
+
+    spans, media = derive_corpus(spark, "/root/testdata/sf0.001")
+    return extract(spark, spans, media, mode="fused")
+
+
+def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.plans.extract import extract
+
+    spans, media = derive_corpus(spark, sf_dir)
+    return extract(spark, spans, media, mode="fused")
+
+
+def _extract_interleaved_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.plans.extract import extract
+
+    spans, media = derive_corpus(spark, sf_dir)
+    return extract(spark, spans, media, mode="exploded")
+
+
+def _ocr_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image OCR records in the reference's golden-file shape
+    (FIXTURES.md F3 / predict_system save_res)."""
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.operators.media_path import OCR_RECORDS_SCHEMA, ocr_records_iter
+
+    _, media = derive_corpus(spark, sf_dir)
+    return media.select("media_ref", "image").mapInPandas(
+        ocr_records_iter, OCR_RECORDS_SCHEMA
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mindocr_spark.operators import dedup, quality, relational, similarity
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction pipeline (non-SQL: OCR kernels; oracle lives in
+        # tests/test_extract_e2e.py as the single-process numpy pipeline)
+        "extract_interleaved": _extract_interleaved,
+        "extract_interleaved_exploded": _extract_interleaved_exploded,
+        "ocr_golden_records": _ocr_golden_records,
+        # relational skeleton (SURVEY.md §2.2-2.6)
+        "pricing_summary": relational.pricing_summary,
+        "order_revenue_topn": relational.order_revenue_topn,
+        "collect_lines_by_order": relational.collect_lines_by_order,
+        "reading_order_events": relational.reading_order_events,
+        "drop_score_filter": relational.drop_score_filter,
+        "user_intersection": relational.user_intersection,
+        "sessionize_events": relational.sessionize_events,
+        "rec_metric": relational.rec_metric,
+        "det_metric_prf": relational.det_metric_prf,
+        "supplier_part_join": relational.supplier_part_join,
+        "explode_reassemble": relational.explode_reassemble,
+        # dedup suite
+        "exact_dup_groups": dedup.exact_dup_groups,
+        "prefix_dup_groups": dedup.prefix_dup_groups,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "cosine_topk": similarity.cosine_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        # text analysis
+        "quality_scores": quality.quality_scores,
+        "token_counts": quality.token_counts,
+        "lang_id": quality.lang_id,
+        "doc_fingerprints": quality.doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mindocr_spark.operators import dedup, quality, relational, similarity
+
+    return {
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "order_revenue_topn": relational.ORDER_REVENUE_SQL,
+        "collect_lines_by_order": relational.COLLECT_LINES_SQL,
+        "reading_order_events": relational.READING_ORDER_SQL,
+        "drop_score_filter": relational.DROP_SCORE_SQL,
+        "user_intersection": relational.USER_INTERSECTION_SQL,
+        "sessionize_events": relational.SESSIONIZE_SQL,
+        "rec_metric": relational.REC_METRIC_SQL,
+        "det_metric_prf": relational.DET_METRIC_SQL,
+        "supplier_part_join": relational.SUPPLIER_PART_SQL,
+        "explode_reassemble": relational.EXPLODE_REASSEMBLE_SQL,
+        "exact_dup_groups": dedup.EXACT_DUP_SQL,
+        "prefix_dup_groups": dedup.PREFIX_DUP_SQL,
+        "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        "simhash_signatures": dedup.SIMHASH_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "cosine_topk": similarity.COSINE_TOPK_SQL,
+        "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        "quality_scores": quality.QUALITY_SQL,
+        "token_counts": quality.TOKEN_COUNTS_SQL,
+        "lang_id": quality.LANG_ID_SQL,
+        "doc_fingerprints": quality.DOC_FINGERPRINT_SQL,
+    }

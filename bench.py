@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the flagship extraction at
+local[N] and local[4N] and report throughput scaling efficiency (the
+north-rule two-cluster-size evidence; results also land in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "extract_interleaved",
+    "extract_interleaved_exploded",
+    "pricing_summary",
+    "collect_lines_by_order",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "cosine_topk",
+    "quality_scores",
+]
+
+
+def _materialize(df) -> None:
+    """Force full computation of every column. A bare count() lets Catalyst
+    prune unused aggregates and eliminate unique-key joins — which would
+    skip the OCR stages entirely."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _run_extraction_throughput(cores: int, sf_dir: str) -> tuple[float, int]:
+    """Fresh session at the given parallelism; returns (sec, docs)."""
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.plans.extract import extract
+    from mindocr_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_scaling_{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.time()
+    spans, media = derive_corpus(spark, sf_dir)
+    _materialize(extract(spark, spans, media, mode="fused"))
+    dt = time.time() - t0
+    spark.stop()
+    return dt, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from mindocr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "docs_per_sec": round(n_docs / times["extract_interleaved"], 2)
+        if times.get("extract_interleaved")
+        else None,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo = max(cpus // 4, 1)
+        t_lo, n = _run_extraction_throughput(lo, sf_dir)
+        t_hi, _ = _run_extraction_throughput(cpus, sf_dir)
+        eff = (t_lo / t_hi) / (cpus / lo)
+        out["scaling"] = {
+            "cores_lo": lo,
+            "cores_hi": cpus,
+            "sec_lo": round(t_lo, 2),
+            "sec_hi": round(t_hi, 2),
+            "docs": n,
+            "docs_per_sec_lo": round(n / t_lo, 2),
+            "docs_per_sec_hi": round(n / t_hi, 2),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

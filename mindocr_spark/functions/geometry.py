@@ -18,6 +18,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def row_extremes_xy(pts_yx: np.ndarray) -> np.ndarray:
+    """Reduce a dense (y,x) pixel set to per-row x-extremes, returned as
+    (x,y) points. The convex hull of a row-run set only uses each row's min
+    and max x, so min_area_rect over components drops from O(pixels) to
+    O(rows) without changing the result."""
+    ys = pts_yx[:, 0]
+    xs = pts_yx[:, 1]
+    order = np.lexsort((xs, ys))
+    ys_s = ys[order]
+    xs_s = xs[order]
+    _, first = np.unique(ys_s, return_index=True)
+    last = np.concatenate([first[1:] - 1, [len(ys_s) - 1]])
+    sel = np.unique(np.concatenate([first, last]))
+    return np.stack([xs_s[sel], ys_s[sel]], axis=1).astype(np.float64)
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain. points (N,2) -> hull (M,2) counter-clockwise
     in image coords (y down), no duplicate endpoint."""

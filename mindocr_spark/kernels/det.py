@@ -35,6 +35,7 @@ from ..config import (
 )
 from ..functions.geometry import (
     min_area_rect,
+    row_extremes_xy,
     offset_convex_poly,
     order_points_clockwise,
     poly_area_perimeter,
@@ -152,7 +153,7 @@ def det_score(img: np.ndarray) -> np.ndarray:
         pts = comp[sel]
         if len(pts) == 0:
             continue
-        xy = np.stack([pts[:, 1], pts[:, 0]], axis=1).astype(np.float64)
+        xy = row_extremes_xy(pts)
         rect, short, _ = min_area_rect(xy)
         if short <= 0:
             continue
@@ -178,7 +179,7 @@ def db_postprocess(
         score = float(prob[pts[:, 0], pts[:, 1]].mean())
         if score < BOX_THRESH:
             continue
-        xy = np.stack([pts[:, 1], pts[:, 0]], axis=1).astype(np.float64)  # (x, y)
+        xy = row_extremes_xy(pts)  # (x, y) per-row extremes
         rect, short_side, _ = min_area_rect(xy)
         if short_side < MIN_SIDE_BEFORE_UNCLIP:
             continue

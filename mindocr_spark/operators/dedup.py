@@ -1,0 +1,237 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline first-class ops (exact, prefix-key, MinHash+LSH,
+SimHash, n-gram Jaccard). Each has a Spark DataFrame implementation and an
+ANSI-SQL oracle (DuckDB) built from primitives verified to agree bit-for-bit
+across engines: md5, substr, conv/0x-cast for hex->int64, split/slice,
+lexicographic string min.
+
+Scale notes: every op is a shuffle-on-key groupBy/self-join — at 10^12 docs
+the shingle self-join (Jaccard) and band-bucket join (LSH) dominate; both
+key on high-cardinality deterministic hashes, so they salt/AQE cleanly and
+broadcast nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+SIMHASH_BITS = 60  # 15 hex chars -> fits signed int64 in both engines
+JACCARD_THRESHOLD = 0.12
+SHINGLE_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams, n=3."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text,' ')) - {SHINGLE_N - 1}, 1)), "
+        f"i -> array_join(slice(split(text,' '), i, {SHINGLE_N}), ' '))"
+    )
+    _ = toks
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = (
+    "SELECT doc_id, unnest(["
+    "array_to_string(string_split(text,' ')[i:i+{n1}], ' ') "
+    "for i in range(1, greatest(len(string_split(text,' ')) - {n1}, 1) + 1)"
+    "]) AS shingle FROM documents"
+).format(n1=SHINGLE_N - 1)
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text (map-side combinable)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a normalized prefix key (first 5 words)."""
+    key = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(key.alias("prefix_hash"))
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+PREFIX_DUP_SQL = """
+SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_hash,
+       count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 md5 permutations) + LSH banding (4 bands x 2 rows):
+    candidate near-dup pairs = docs sharing any band signature.
+
+    shingle -> minhash -> band -> bucket-join, all on deterministic md5
+    strings (lexicographic min == numeric min of the hash)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle")))).alias(
+                f"mh{s}"
+            )
+            for s in range(N_MINHASH)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{b}:"), F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+MINHASH_LSH_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([
+    {", ".join(f"'b{b}:' || mh{2*b} || '|' || mh{2*b+1}" for b in range(N_BANDS))}
+  ]) AS band FROM mh
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from md5-hashed tokens."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn(
+            "h", F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)")
+        )
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+        F.col("h"),
+    ).withColumn("v", F.expr("2 * (cast(shiftright(h, b) & 1 as int)) - 1"))
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bit", F.expr("case when s >= 0 then 1 else 0 end"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("cast(bit as bigint) * shiftleft(1L, b)")).alias("simhash"))
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text,' '))),1,15))::BIGINT AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+  FROM toks, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum((CASE WHEN s >= 0 THEN 1::BIGINT ELSE 0 END) << b)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard similarity >= threshold.
+
+    shingle-explode -> self equi-join on shingle -> pair-count / sizes.
+    At scale: the join keys are shingles (high cardinality) — hot shingles
+    (stopword-grams) are the skew risk; production would drop top-frequency
+    shingles first. Threshold keeps output bounded.
+    """
+    sh = _shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       round(i.inter / (na.n + nb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+"""

@@ -1,0 +1,163 @@
+"""Text-analysis operators over ``documents``: quality scoring, token
+counting, language-ID heuristic, document fingerprinting.
+
+All expressible with built-in string/array functions — JVM-side, whole-stage
+codegen, no Python in the hot path. Floats rounded to 4dp so the DuckDB
+oracles hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+_SW_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality score per doc.
+
+    All-integer arithmetic (floor division) so Spark and the DuckDB oracle
+    are exact — float rounding at decimal boundaries is engine-dependent.
+    Score in milli-units, 0..1000: 0.5*length + 0.3*token-shape +
+    0.2*(1 - stopword density).
+    """
+    d = _docs(spark, sf_dir).withColumn("toks", F.split("text", " "))
+    d = d.withColumn("n_tokens", F.size("toks").cast("long"))
+    d = d.withColumn(
+        "n_stop",
+        F.expr(
+            "cast(size(filter(toks, t -> t in (%s))) as bigint)" % _SW_LIST_SQL
+        ),
+    )
+    # total token chars = chars minus separating spaces (exact integer)
+    d = d.withColumn(
+        "sum_tok_len", (F.length("text") - (F.col("n_tokens") - 1)).cast("long")
+    )
+    d = d.withColumn(
+        "mean_tok_len_centi",
+        F.expr("cast((sum_tok_len * 100) div n_tokens as bigint)"),
+    )
+    d = d.withColumn(
+        "stop_ratio_bp", F.expr("cast((n_stop * 10000) div n_tokens as bigint)")
+    )
+    d = d.withColumn(
+        "quality_milli",
+        F.expr(
+            "cast(least(n_tokens, 100) * 5 "
+            "+ least((sum_tok_len * 75) div (n_tokens * 2), 300) "
+            "+ 200 - least((n_stop * 400) div n_tokens, 200) as bigint)"
+        ),
+    )
+    return d.select(
+        "doc_id", "n_tokens", "mean_tok_len_centi", "stop_ratio_bp", "quality_milli"
+    )
+
+
+QUALITY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, t -> t IN ({_SW_LIST_SQL})))::BIGINT AS n_stop,
+         (length(text) - (len(toks) - 1))::BIGINT AS sum_tok_len
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       ((sum_tok_len * 100) // n_tokens)::BIGINT AS mean_tok_len_centi,
+       ((n_stop * 10000) // n_tokens)::BIGINT AS stop_ratio_bp,
+       (least(n_tokens, 100) * 5
+        + least((sum_tok_len * 75) // (n_tokens * 2), 300)
+        + 200 - least((n_stop * 400) // n_tokens, 200))::BIGINT AS quality_milli
+FROM m
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + chars per doc."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.expr("cast(regexp_count(text, '[a-z]+|[0-9]+') as bigint)").alias(
+            "bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(string_split(text,' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS bpe_tokens,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-gram-flavored language heuristic (vowel ratio +
+    mean token length buckets). Synthetic corpus vocab is shared across
+    labels, so this checks the operator, not classifier accuracy."""
+    d = _docs(spark, sf_dir)
+    d = d.withColumn(
+        "vowel_ratio",
+        F.round(
+            F.expr(
+                "cast(length(regexp_replace(text, '[^aeiou]', '')) as double)"
+                " / greatest(length(regexp_replace(text, ' ', '')), 1)"
+            ),
+            4,
+        ),
+    )
+    d = d.withColumn(
+        "pred_lang",
+        F.expr(
+            "case when vowel_ratio >= 0.5 then 'vowelic' "
+            "when vowel_ratio >= 0.35 then 'balanced' else 'consonantic' end"
+        ),
+    )
+    return d.select("doc_id", "vowel_ratio", "pred_lang", "lang")
+
+
+LANG_ID_SQL = """
+WITH v AS (
+  SELECT doc_id, lang,
+         round(length(regexp_replace(text, '[^aeiou]', '', 'g'))::DOUBLE
+               / greatest(length(regexp_replace(text, ' ', '', 'g')), 1), 4) AS vowel_ratio
+  FROM documents
+)
+SELECT doc_id, vowel_ratio,
+       CASE WHEN vowel_ratio >= 0.5 THEN 'vowelic'
+            WHEN vowel_ratio >= 0.35 THEN 'balanced'
+            ELSE 'consonantic' END AS pred_lang,
+       lang
+FROM v
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word-5-gram shingles."""
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)), "
+        "i -> md5(array_join(slice(split(text,' '), i, 5), ' ')))"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.array_min(grams).alias("fingerprint"))
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min([md5(array_to_string(string_split(text,' ')[i:i+4], ' '))
+                 for i in range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1)]) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,363 @@
+"""Relational skeleton queries mapping SURVEY.md §2 operator classes onto
+the driver's TPC-H-ish tables (explode/join/groupBy/window/set-op/metrics).
+
+Each maps a reference operator to native Catalyst:
+- collect-by-key  ~ CollectNode merge (collect_node.py:75-131)
+- window ordering ~ sorted_boxes reading order (utils.py:95-103)
+- drop-score      ~ predict_system.py:327-336 confidence filter
+- det/rec metrics ~ mindocr/metrics (det_metrics.py:98-167,
+  rec_metrics.py:16-158): per-row labels then partial+final aggregation
+  (the Spark analogue of the reference's AllReduce(sum)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (partial+final agg, codegen-friendly)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def order_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style join + agg + deterministic top-10 (broadcastable dim)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+ORDER_REVENUE_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def collect_lines_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectNode analogue: ordered re-assembly per key after a shuffle —
+    groupBy + sorted collect replaces the reference's remaining-counter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda x: x["l_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("parts_in_line_order"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+COLLECT_LINES_SQL = """
+SELECT l_orderkey,
+       string_agg(l_partkey::VARCHAR, ',' ORDER BY l_linenumber, l_partkey) AS parts_in_line_order,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def reading_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted_boxes analogue: deterministic per-partition ordering via a
+    window (top-3 earliest events per user)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("rn").cast("int").alias("rn"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+READING_ORDER_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM r WHERE rn <= 3
+"""
+
+
+def drop_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst confidence predicate (drop_score semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") >= 0.5)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+DROP_SCORE_SQL = """
+SELECT event_type, count(*) AS n_kept, round(avg(value), 4) AS avg_value
+FROM events WHERE value >= 0.5 GROUP BY event_type
+"""
+
+
+def user_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: users who both clicked and purchased (intersect)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.intersect(b)
+
+
+USER_INTERSECTION_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting with a 30-minute inactivity gap (lag window):
+    the batch analogue of a session window (SURVEY.md §2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecMetric analogue (rec_metrics.py:115-158): normalize (strip spaces,
+    lower), exact-match accuracy + 1 - mean normalized edit distance over
+    (doc i, doc i+1) surrogate pred/gt pairs."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.regexp_replace("text", " ", "")).alias("norm")
+    )
+    a = d.alias("a")
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("norm").alias("norm_b"))
+    pairs = a.join(b, "doc_id").select(
+        F.col("norm").alias("pred"), F.col("norm_b").alias("gt")
+    )
+    scored = pairs.select(
+        F.when(F.col("pred") == F.col("gt"), 1).otherwise(0).alias("correct"),
+        (
+            F.levenshtein("pred", "gt")
+            / F.greatest(F.length("pred"), F.length("gt"))
+        ).alias("ned"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("correct"), 4).alias("acc"),
+        F.round(F.lit(1.0) - F.avg("ned"), 4).alias("norm_edit_sim"),
+    )
+
+
+REC_METRIC_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(text, ' ', '', 'g')) AS norm FROM documents
+),
+pairs AS (
+  SELECT a.norm AS pred, b.norm AS gt
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+),
+scored AS (
+  SELECT CASE WHEN pred = gt THEN 1 ELSE 0 END AS correct,
+         levenshtein(pred, gt)::DOUBLE / greatest(length(pred), length(gt)) AS ned
+  FROM pairs
+)
+SELECT count(*) AS n_pairs, round(avg(correct), 4) AS acc,
+       round(1.0 - avg(ned), 4) AS norm_edit_sim
+FROM scored
+"""
+
+
+def det_metric_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DetMetric analogue (det_metrics.py:98-167): per-row tp/fp/fn labels,
+    then global precision/recall/f — partial+final agg ≡ AllReduce(sum)."""
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        F.when((F.col("value") >= 0.5) & (F.col("event_type") == "click"), 1)
+        .otherwise(0)
+        .alias("tp"),
+        F.when((F.col("value") >= 0.5) & (F.col("event_type") != "click"), 1)
+        .otherwise(0)
+        .alias("fp"),
+        F.when((F.col("value") < 0.5) & (F.col("event_type") == "click"), 1)
+        .otherwise(0)
+        .alias("fn"),
+    )
+    agg = lab.agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4).alias("recall"),
+        F.round(
+            2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 4
+        ).alias("f_score"),
+    )
+
+
+DET_METRIC_SQL = """
+WITH lab AS (
+  SELECT CASE WHEN value >= 0.5 AND event_type = 'click' THEN 1 ELSE 0 END AS tp,
+         CASE WHEN value >= 0.5 AND event_type != 'click' THEN 1 ELSE 0 END AS fp,
+         CASE WHEN value < 0.5 AND event_type = 'click' THEN 1 ELSE 0 END AS fn
+  FROM events
+),
+agg AS (SELECT sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn FROM lab)
+SELECT tp, fp, fn,
+       round(tp::DOUBLE / (tp + fp), 4) AS precision,
+       round(tp::DOUBLE / (tp + fn), 4) AS recall,
+       round(2.0 * tp / (2 * tp + fp + fn), 4) AS f_score
+FROM agg
+"""
+
+
+def supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join with two broadcastable dims + grouped agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SUPPLIER_PART_SQL = """
+SELECT n_name, count(*) AS n_lineitems, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def explode_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode -> per-element transform -> ordered re-assembly: the exact
+    relational skeleton of the span pipeline (explode spans / collect by
+    doc), on the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    upper3 = toks.withColumn("tok3", F.upper(F.substring("tok", 1, 3)))
+    return (
+        upper3.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok3"))),
+                    lambda x: x["tok3"],
+                ),
+                " ",
+            ).alias("reassembled"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+EXPLODE_REASSEMBLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, upper(substr(string_split(text,' ')[i], 1, 3)) AS tok3
+  FROM documents, LATERAL (SELECT unnest(range(1, len(string_split(text,' ')) + 1)) AS i)
+)
+SELECT doc_id,
+       string_agg(tok3, ' ' ORDER BY pos) AS reassembled,
+       count(*) AS n_tokens
+FROM toks GROUP BY doc_id
+"""

@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- ``cosine_topk``: brute-force exact top-k for a query set — the baseline.
+  Dot products run JVM-side via ``aggregate(zip_with(...))`` in double
+  precision with index-order folds, which both Spark and DuckDB evaluate in
+  the same IEEE order; results rounded to 4dp before ranking so both
+  engines rank identically.
+- ``ann_lsh_topk``: the scale path — sign-LSH bucketing on the first 6
+  coordinates (deterministic hyperplanes), then exact rerank within the
+  bucket. At 10^12 rows the bucket column is the shuffle/partition key and
+  the query set is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_QUERIES = 20
+TOP_K = 3
+LSH_DIMS = 6
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "norm", F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for vec_id < 20 (brute force)."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    # broadcast the small query side; the corpus side streams
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = pairs.withColumn(
+        "sim", F.round(F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 4)
+    ).select("query_id", "neighbor_id", "sim")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_DOT_DUCK = "list_sum([cast({a}[i] as double) * cast({b}[i] as double) for i in range(1, 65)])"
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_DUCK.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm), 4) AS sim
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: sign-LSH on first 6 dims, exact top-1 within bucket."""
+    bucket = F.expr(
+        "aggregate(sequence(0, %d), 0, (acc, i) -> "
+        "acc + shiftleft(case when element_at(embedding, i + 1) >= 0F then 1 else 0 end, i))"
+        % (LSH_DIMS - 1)
+    )
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", bucket)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        "bucket",
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = pairs.withColumn(
+        "sim", F.round(F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 4)
+    ).select("query_id", "neighbor_id", "sim")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 1)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm,
+         list_sum([CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END
+                   for i in range(1, {LSH_DIMS + 1})]) AS bucket
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_DUCK.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm), 4) AS sim
+  FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rank = 1
+"""

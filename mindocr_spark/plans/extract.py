@@ -61,8 +61,16 @@ def _exploded_spans(spans: DataFrame) -> DataFrame:
     )
 
 
+def _cpu_partitions(df: DataFrame) -> int:
+    """Partition count for CPU-bound Python stages: AQE sizes shuffles by
+    bytes and will coalesce a small-but-expensive image batch onto one core;
+    pin parallelism to the cluster instead (2x task slots)."""
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
 def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
     joined = media_spans.join(media.select("media_ref", "image"), "media_ref")
+    joined = joined.repartition(_cpu_partitions(joined), "media_ref")
     return joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
         ocr_fused_iter, FUSED_SCHEMA
     )
@@ -70,6 +78,7 @@ def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
 
 def _media_texts_exploded(media_spans: DataFrame, media: DataFrame) -> DataFrame:
     joined = media_spans.join(media.select("media_ref", "image"), "media_ref")
+    joined = joined.repartition(_cpu_partitions(joined), "media_ref")
     crops = joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
         det_crops_iter, DET_CROPS_SCHEMA
     )

@@ -1,0 +1,66 @@
+"""Derived-corpus path (the driver's flagship entry): Spark extraction over
+spans derived from the testdata documents table == pandas oracle."""
+
+import pandas as pd
+import pytest
+
+from mindocr_spark.data.derive_corpus import derive_corpus_pandas, derive_from_docs
+from mindocr_spark.oracle.pipeline import extract_documents_oracle
+from mindocr_spark.plans.extract import extract
+
+SF_DIR = "/root/testdata/sf0.001"
+N_DOCS = 15
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return (
+        pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+        .head(N_DOCS)
+        .reset_index(drop=True)
+    )
+
+
+def test_derived_extraction_matches_oracle(spark, docs_pdf):
+    spans_pdf, media_pdf = derive_corpus_pandas(docs_pdf)
+    want = extract_documents_oracle(spans_pdf, media_pdf)
+
+    docs = spark.createDataFrame(docs_pdf)
+    spans, media = derive_from_docs(docs)
+    rows = extract(spark, spans, media, mode="fused").orderBy("doc_id").collect()
+    assert len(rows) == len(want)
+    for row, (_, orow) in zip(rows, want.iterrows()):
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["out_spans"]]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in orow["out_spans"]]
+        assert row["doc_id"] == orow["doc_id"]
+        assert got == exp, row["doc_id"]
+
+
+def test_entry_contract(spark):
+    """entry(spark) returns a DataFrame with rows and a stable schema."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert dict(df.dtypes)["doc_id"] == "string"
+    assert df.limit(3).count() == 3
+
+
+def test_queries_oracle_keys_consistent():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    osql = mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    # every non-OCR query has an oracle
+    no_oracle = set(qs) - set(osql)
+    assert no_oracle == {
+        "extract_interleaved",
+        "extract_interleaved_exploded",
+        "ocr_golden_records",
+    }

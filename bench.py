@@ -46,7 +46,14 @@ def _run_extraction_throughput(cores: int, sf_dir: str) -> tuple[float, int]:
 
     spark = get_spark(app_name=f"bench_scaling_{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # warm python workers / Arrow path so the measurement is steady-state
+    # throughput (what a long-running 100TB job sees), not JVM+worker spawn
+    from mindocr_spark.data.derive_corpus import derive_from_docs
+
+    wspans, wmedia = derive_from_docs(docs.limit(64))
+    _materialize(extract(spark, wspans, wmedia, mode="fused"))
     t0 = time.time()
     spans, media = derive_corpus(spark, sf_dir)
     _materialize(extract(spark, spans, media, mode="fused"))
@@ -67,7 +74,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    # warm python workers so query timings reflect steady state
+    from mindocr_spark.data.derive_corpus import derive_from_docs
+    from mindocr_spark.plans.extract import extract as _extract
+
+    _w_spans, _w_media = derive_from_docs(docs.limit(64))
+    _materialize(_extract(spark, _w_spans, _w_media, mode="fused"))
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
@@ -88,20 +102,32 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        lo = max(cpus // 4, 1)
-        t_lo, n = _run_extraction_throughput(lo, sf_dir)
-        t_hi, _ = _run_extraction_throughput(cpus, sf_dir)
-        eff = (t_lo / t_hi) / (cpus / lo)
-        out["scaling"] = {
-            "cores_lo": lo,
-            "cores_hi": cpus,
-            "sec_lo": round(t_lo, 2),
-            "sec_hi": round(t_hi, 2),
-            "docs": n,
-            "docs_per_sec_lo": round(n / t_lo, 2),
-            "docs_per_sec_hi": round(n / t_hi, 2),
-            "efficiency": round(eff, 3),
-        }
+        # two N->4N pairs: 2->8 sits below this box's DVFS/turbo ceiling
+        # (all-core clocks drop ~35% past ~8 busy cores — measured with a
+        # pure-multiprocessing control, see BENCH.md), 8->32 shows the
+        # saturated-box number.
+        pairs = [(2, 8), (max(cpus // 4, 1), cpus)] if cpus >= 32 else [
+            (max(cpus // 4, 1), cpus)
+        ]
+        timings: dict[int, float] = {}
+        n = 0
+        for lo, hi in pairs:
+            for c in (lo, hi):
+                if c not in timings:
+                    timings[c], n = _run_extraction_throughput(c, sf_dir)
+        out["scaling"] = [
+            {
+                "cores_lo": lo,
+                "cores_hi": hi,
+                "sec_lo": round(timings[lo], 2),
+                "sec_hi": round(timings[hi], 2),
+                "docs": n,
+                "docs_per_sec_lo": round(n / timings[lo], 2),
+                "docs_per_sec_hi": round(n / timings[hi], 2),
+                "efficiency": round((timings[lo] / timings[hi]) / (hi / lo), 3),
+            }
+            for lo, hi in pairs
+        ]
 
     print(json.dumps(out))
 

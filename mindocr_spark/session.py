@@ -18,11 +18,25 @@ from pyspark.sql import SparkSession
 from .config import ARROW_MAX_RECORDS, SHUFFLE_PARTITIONS
 
 
+def _pin_blas_threads() -> None:
+    """One BLAS/OMP thread per python worker: each Spark task is already a
+    process; letting OpenBLAS fan out inside every worker oversubscribes the
+    box and collapses scaling of the numpy-heavy UDF stages."""
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app_name: str = "mindocr_spark",
     cores: int | None = None,
     shuffle_partitions: int = SHUFFLE_PARTITIONS,
 ) -> SparkSession:
+    _pin_blas_threads()
     master = None
     if cores is not None:
         master = f"local[{cores}]"

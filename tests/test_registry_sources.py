@@ -1,0 +1,80 @@
+"""Stage registry (config-driven pipelines) + binaryFile image source."""
+
+import numpy as np
+import pytest
+
+from mindocr_spark.functions.glyphs import render_page
+from mindocr_spark.functions.ordering import sort_words_reading_order
+from mindocr_spark.functions.png_codec import encode_png
+from mindocr_spark.registry import available_stages, build_pipeline
+
+
+def test_registry_lists_builtins():
+    names = available_stages()
+    for n in ["strip_html", "ocr_fused", "det_crops", "recognize", "drop_score"]:
+        assert n in names
+
+
+def test_unknown_stage_raises():
+    with pytest.raises(KeyError):
+        build_pipeline([{"name": "nope"}])
+
+
+def test_config_pipeline_media(spark, small_corpus):
+    import pandas as pd
+
+    _, _, media_pdf = small_corpus
+    sub = media_pdf.head(4)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(len(sub))],
+                "offset": list(range(len(sub))),
+                "media_ref": sub["media_ref"].tolist(),
+                "image": sub["image"].tolist(),
+            }
+        )
+    )
+    pipe = build_pipeline(
+        [
+            {"name": "repartition_cpu"},
+            {"name": "det_crops"},
+            {"name": "recognize"},
+            {"name": "drop_score"},
+        ]
+    )
+    out = pipe(df).collect()
+    assert len(out) > 0
+    assert all(r["conf"] >= 0.5 for r in out)
+
+
+def test_config_pipeline_text(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"raw_text": ["<p>hello world</p><script>x</script>"]})
+    )
+    pipe = build_pipeline([{"name": "strip_html"}])
+    assert pipe(df).collect()[0]["text"] == "hello world"
+
+
+def test_image_dir_source(spark, tmp_path):
+    from mindocr_spark.sources.images import predict_image_dir, read_image_dir
+
+    for i, word in enumerate(["alpha", "beta"]):
+        page, _ = render_page([(word, 30, 30)], 96, 224)
+        (tmp_path / f"img_{i}.png").write_bytes(encode_png(page))
+    (tmp_path / "notes.txt").write_text("ignore me")
+
+    df = read_image_dir(spark, str(tmp_path))
+    assert df.count() == 2  # txt filtered by glob
+    recs = predict_image_dir(spark, str(tmp_path)).orderBy("media_ref").collect()
+    assert sorted(r["transcription"] for r in recs) == ["alpha", "beta"]
+
+
+def test_sort_words_reading_order():
+    def quad(x, y, w=40, h=20):
+        return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]])
+
+    polys = [quad(100, 2), quad(0, 0), quad(0, 50), quad(100, 48)]
+    assert sort_words_reading_order(polys) == [1, 0, 2, 3]

@@ -40,6 +40,15 @@ def _extract_interleaved_exploded(spark: SparkSession, sf_dir: str) -> DataFrame
     return extract(spark, spans, media, mode="exploded")
 
 
+def _image_meta_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the derived media table (multimodal plumbing)."""
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.operators.multimodal import image_meta
+
+    _, media = derive_corpus(spark, sf_dir)
+    return image_meta(media)
+
+
 def _ocr_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image OCR records in the reference's golden-file shape
     (FIXTURES.md F3 / predict_system save_res)."""
@@ -61,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_interleaved": _extract_interleaved,
         "extract_interleaved_exploded": _extract_interleaved_exploded,
         "ocr_golden_records": _ocr_golden_records,
+        "image_meta_derived": _image_meta_derived,
         # relational skeleton (SURVEY.md §2.2-2.6)
         "pricing_summary": relational.pricing_summary,
         "order_revenue_topn": relational.order_revenue_topn,
@@ -73,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_metric_prf": relational.det_metric_prf,
         "supplier_part_join": relational.supplier_part_join,
         "explode_reassemble": relational.explode_reassemble,
+        "customers_with_orders": relational.customers_with_orders,
+        "orders_without_lineitems": relational.orders_without_lineitems,
+        "returnflag_rollup": relational.returnflag_rollup,
         # dedup suite
         "exact_dup_groups": dedup.exact_dup_groups,
         "prefix_dup_groups": dedup.prefix_dup_groups,
@@ -105,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "det_metric_prf": relational.DET_METRIC_SQL,
         "supplier_part_join": relational.SUPPLIER_PART_SQL,
         "explode_reassemble": relational.EXPLODE_REASSEMBLE_SQL,
+        "customers_with_orders": relational.CUSTOMERS_WITH_ORDERS_SQL,
+        "orders_without_lineitems": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
+        "returnflag_rollup": relational.RETURNFLAG_ROLLUP_SQL,
         "exact_dup_groups": dedup.EXACT_DUP_SQL,
         "prefix_dup_groups": dedup.PREFIX_DUP_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,

@@ -361,3 +361,60 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM toks GROUP BY doc_id
 """
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): customers having at least one order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): orders with no lineitem rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with NULL grouping levels normalized to 'ALL'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+RETURNFLAG_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

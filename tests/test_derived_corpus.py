@@ -63,4 +63,5 @@ def test_queries_oracle_keys_consistent():
         "extract_interleaved",
         "extract_interleaved_exploded",
         "ocr_golden_records",
+        "image_meta_derived",
     }

@@ -90,29 +90,34 @@ def connected_components(mask: np.ndarray) -> list[np.ndarray]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    # extract all runs in one vectorized pass over the zero-padded raster
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded.ravel())
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1  # exclusive; same row (padding splits)
+    stride = w + 2
+    run_y = starts // stride
+    run_x0 = starts % stride - 1
+    run_x1 = ends % stride - 1  # exclusive
+
     runs: list[tuple[int, int, int, int]] = []  # (y, x0, x1_exclusive, label)
-    prev_row_runs: list[tuple[int, int, int]] = []  # (x0, x1_exclusive, label)
-    for y in range(h):
-        row = mask[y]
-        if not row.any():
-            prev_row_runs = []
-            continue
-        padded = np.concatenate(([False], row, [False]))
-        d = np.diff(padded.astype(np.int8))
-        starts = np.nonzero(d == 1)[0]
-        ends = np.nonzero(d == -1)[0]  # exclusive
-        cur: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts, ends):
-            x0, x1 = int(x0), int(x1)
-            lbl = len(parent)
-            parent.append(lbl)
-            # 8-connectivity: [x0,x1) touches [px0,px1) iff x0 <= px1 and px0 <= x1
-            for px0, px1, plbl in prev_row_runs:
-                if x0 <= px1 and px0 <= x1:
-                    union(lbl, plbl)
-            runs.append((y, x0, x1, lbl))
-            cur.append((x0, x1, lbl))
-        prev_row_runs = cur
+    prev_runs: list[tuple[int, int, int]] = []  # runs of row y-1
+    cur_runs: list[tuple[int, int, int]] = []  # runs of current row
+    cur_y = -2
+    for y, x0, x1 in zip(run_y.tolist(), run_x0.tolist(), run_x1.tolist()):
+        if y != cur_y:
+            prev_runs = cur_runs if y == cur_y + 1 else []
+            cur_runs = []
+            cur_y = y
+        lbl = len(parent)
+        parent.append(lbl)
+        # 8-connectivity: [x0,x1) touches [px0,px1) iff x0 <= px1 and px0 <= x1
+        for px0, px1, plbl in prev_runs:
+            if x0 <= px1 and px0 <= x1:
+                union(lbl, plbl)
+        runs.append((y, x0, x1, lbl))
+        cur_runs.append((x0, x1, lbl))
     groups: dict[int, list[tuple[int, int, int]]] = {}
     for y, x0, x1, lbl in runs:
         groups.setdefault(find(lbl), []).append((y, x0, x1))

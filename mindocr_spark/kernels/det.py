@@ -90,21 +90,20 @@ def _solve_shrink_distance(rect: np.ndarray) -> float:
     text region (``ShrinkBinaryMap``, ``det_transforms.py:336``) and unclip
     restores the full box at inference.
     """
-    _, short, _ = min_area_rect(rect)
-    d_max = max(short / 2.0 - 2.0, 0.0)
-    d = 0.0
-    for _ in range(40):
-        shrunk = offset_convex_poly(rect, -d) if d > 0 else rect
-        area, per = poly_area_perimeter(shrunk)
-        if per <= 1e-9:
-            break
-        target = EXPAND_RATIO * area / per
-        d_new = min(0.5 * (d + target), d_max)
-        if abs(d_new - d) < 1e-3:
-            d = d_new
-            break
-        d = d_new
-    return d
+    # rect is a rectangle: the fixed point d = R*(w-2d)(h-2d)/(2(w+h-4d))
+    # is the smaller root of (4R+8) d^2 - (2R+2)(w+h) d + R*w*h = 0
+    w = float(np.linalg.norm(rect[1] - rect[0]))
+    h = float(np.linalg.norm(rect[3] - rect[0]))
+    d_max = max(min(w, h) / 2.0 - 2.0, 0.0)
+    r = EXPAND_RATIO
+    a = 4 * r + 8
+    b = -(2 * r + 2) * (w + h)
+    c = r * w * h
+    disc = b * b - 4 * a * c
+    if disc <= 0:
+        return d_max
+    d = (-b - np.sqrt(disc)) / (2 * a)
+    return float(min(max(d, 0.0), d_max))
 
 
 def _fill_convex_poly(prob: np.ndarray, poly: np.ndarray, value: float) -> None:

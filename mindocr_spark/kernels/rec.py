@@ -36,37 +36,43 @@ def rec_resize_norm(crop: np.ndarray) -> np.ndarray:
     return resize_bilinear(crop, target_h, target_w)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _area_grid(h: int, w: int, out_h: int, out_w: int):
+    ys = np.linspace(0.0, float(h), out_h + 1)
+    xs = np.linspace(0.0, float(w), out_w + 1)
+    y0 = np.minimum(ys.astype(np.int64), h)
+    x0 = np.minimum(xs.astype(np.int64), w)
+    y1 = np.minimum(y0 + 1, h)
+    x1 = np.minimum(x0 + 1, w)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    return y0, x0, y1, x1, fy, fx, areas
+
+
 def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Exact area-average resample (like cv2 INTER_AREA) via the integral
-    image evaluated at fractional cell boundaries."""
+    image evaluated (bilinearly — exact for piecewise-constant pixels) at
+    fractional cell boundaries."""
     h, w = img.shape
     ii = np.zeros((h + 1, w + 1), dtype=np.float64)
-    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+    np.cumsum(img, axis=0, dtype=np.float64, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
 
-    def sample(yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
-        # bilinear interpolation of the integral image == exact integral for
-        # piecewise-constant pixels
-        y0 = np.clip(np.floor(yy).astype(int), 0, h)
-        x0 = np.clip(np.floor(xx).astype(int), 0, w)
-        y1 = np.minimum(y0 + 1, h)
-        x1 = np.minimum(x0 + 1, w)
-        fy = yy - y0
-        fx = xx - x0
-        a = ii[np.ix_(y0, x0)]
-        b = ii[np.ix_(y0, x1)]
-        c = ii[np.ix_(y1, x0)]
-        d = ii[np.ix_(y1, x1)]
-        top = a + (b - a) * fx[None, :]
-        bot = c + (d - c) * fx[None, :]
-        return top + (bot - top) * fy[:, None]
-
-    ys = np.linspace(0, h, out_h + 1)
-    xs = np.linspace(0, w, out_w + 1)
-    grid = sample(ys, xs)
-    cell = (
-        grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]
-    )
-    areas = np.outer(np.diff(ys), np.diff(xs))
+    y0, x0, y1, x1, fy, fx, areas = _area_grid(h, w, out_h, out_w)
+    yi0 = y0[:, None]
+    yi1 = y1[:, None]
+    a = ii[yi0, x0[None, :]]
+    b = ii[yi0, x1[None, :]]
+    c = ii[yi1, x0[None, :]]
+    d = ii[yi1, x1[None, :]]
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    grid = top + (bot - top) * fy
+    cell = grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]
     return (cell / areas).astype(np.float32)
 
 

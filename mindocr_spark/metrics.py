@@ -199,3 +199,58 @@ def cls_metric(df: DataFrame, pred_col: str = "pred", gt_col: str = "gt") -> Dat
             F.when(F.col(pred_col) == F.col(gt_col), 1).otherwise(0)
         ).alias("acc"),
     )
+
+
+def e2e_match_image(
+    pred_items: list[dict], gt_items: list[dict], thresh: float = MIN_INTERSECT
+) -> tuple[int, int]:
+    """One image -> (correct, total) per the reference e2e eval
+    (``deploy/eval_utils/eval_pipeline.py:33-73``): gt items with ``###``/``*``
+    transcription are ignored; a pred counts once per gt whose
+    intersection/gt_area exceeds the threshold AND whose space-stripped
+    lowercase text matches."""
+    gts = [g for g in gt_items if g["transcription"] not in ("###", "*")]
+    correct = 0
+    for pred in pred_items:
+        p = np.asarray(pred["points"], dtype=np.float64).reshape(-1, 2)
+        if not quad_is_valid(p):
+            continue
+        pred_text = pred["transcription"].replace(" ", "").lower()
+        for gt in gts:
+            g = np.asarray(gt["points"], dtype=np.float64).reshape(-1, 2)
+            if not quad_is_valid(g):
+                continue
+            g_area, _ = poly_area_perimeter(g)
+            if g_area <= 0:
+                continue
+            inter = poly_intersection_area(g, p)
+            if inter / g_area > thresh and gt["transcription"]:
+                if gt["transcription"].replace(" ", "").lower() == pred_text:
+                    correct += 1
+    return correct, len(gts)
+
+
+def e2e_eval(df: DataFrame) -> DataFrame:
+    """df: (img string, pred_json string, gt_json string), each a JSON list
+    of {"transcription", "points"}. Returns (correct_num, total_num, acc) —
+    the Spark aggregation replacing the reference's joblib multiprocessing
+    (``eval_pipeline.py:76-87``)."""
+
+    def per_image(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            c, t = e2e_match_image(json.loads(r["pred_json"]), json.loads(r["gt_json"]))
+            rows.append({"correct": c, "total": t})
+        return pd.DataFrame(rows, columns=["correct", "total"])
+
+    scored = df.groupBy("img").applyInPandas(per_image, "correct long, total long")
+    agg = scored.agg(
+        F.sum("correct").alias("correct_num"), F.sum("total").alias("total_num")
+    )
+    return agg.select(
+        "correct_num",
+        "total_num",
+        F.when(F.col("total_num") == 0, 0.0)
+        .otherwise(F.col("correct_num") / F.col("total_num"))
+        .alias("acc"),
+    )

@@ -147,3 +147,55 @@ def test_golden_roundtrip(spark, tmp_path):
 
     out = format_system_results(df.select("img", "anns")).collect()
     assert out[0]["value"].startswith("img_61.jpg\t[")
+
+
+def test_e2e_eval_roundtrip_on_rendered_page(spark):
+    """End-to-end eval: OCR records vs the renderer's ground truth -> 100%."""
+    import json as _json
+
+    import pandas as pd
+
+    from mindocr_spark.functions.glyphs import render_page
+    from mindocr_spark.kernels.system import ocr_image
+    from mindocr_spark.metrics import e2e_eval
+
+    page, gt = render_page([("hello", 20, 20), ("world", 64, 20)], 128, 256)
+    preds = [
+        {"transcription": r["transcription"], "points": r["points"]}
+        for r in ocr_image(page)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "img": ["p1"],
+                "pred_json": [_json.dumps(preds)],
+                "gt_json": [_json.dumps(gt)],
+            }
+        )
+    )
+    row = e2e_eval(df).collect()[0]
+    assert row["total_num"] == 2
+    assert row["correct_num"] == 2
+    assert row["acc"] == 1.0
+
+
+def test_e2e_eval_ignores_and_mismatch(spark):
+    import json as _json
+
+    import pandas as pd
+
+    from mindocr_spark.metrics import e2e_eval
+
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    gt = [
+        {"transcription": "###", "points": sq},  # ignored
+        {"transcription": "abc", "points": sq},
+    ]
+    preds = [{"transcription": "abx", "points": sq}]  # text mismatch
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"img": ["i"], "pred_json": [_json.dumps(preds)], "gt_json": [_json.dumps(gt)]}
+        )
+    )
+    row = e2e_eval(df).collect()[0]
+    assert (row["correct_num"], row["total_num"]) == (0, 1)

@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ivf_topk": similarity.ivf_topk,
         # text analysis
         "quality_scores": quality.quality_scores,
         "token_counts": quality.token_counts,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        "ivf_topk": similarity.IVF_TOPK_SQL,
         "quality_scores": quality.QUALITY_SQL,
         "token_counts": quality.TOKEN_COUNTS_SQL,
         "lang_id": quality.LANG_ID_SQL,

@@ -151,3 +151,114 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, sim FROM ranked WHERE rank = 1
 """
+
+
+N_IVF_CENTROIDS = 8
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic "trained" centroids (the first 8
+    vectors), every embedding assigned to its nearest centroid (L2, rounded,
+    ties to the lower centroid id), queries probe only their own cell and
+    exact-rank top-1 by cosine inside it.
+
+    At 10^12 rows the cell id is the partition key; centroids are broadcast
+    (a ~KB table), so assignment is a map-side broadcast nested-loop, and
+    search shuffles only the probed cells.
+    """
+    emb = _with_norm(_emb(spark, sf_dir))
+    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, ce, (x, y) -> "
+                "(cast(x as double) - cast(y as double)) * "
+                "(cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v)"
+            ),
+            4,
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nn"),
+        "cell",
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.expr(_DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")), 4
+            ),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    from pyspark.sql.window import Window as W2
+
+    w = W2.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 1)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+_L2_DUCK = (
+    "list_sum([(cast({a}[i] as double) - cast({b}[i] as double)) * "
+    "(cast({a}[i] as double) - cast({b}[i] as double)) for i in range(1, 65)])"
+)
+
+IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < {N_IVF_CENTROIDS}),
+dists AS (
+  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+         round({_L2_DUCK.format(a='e.embedding', b='c.ce')}, 4) AS dist
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, norm, cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist ASC, cent_id ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+sims AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({_DOT_DUCK.format(a='q.embedding', b='n.embedding')} / (q.norm * n.norm), 4) AS sim
+  FROM assigned q JOIN assigned n ON n.cell = q.cell AND n.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims)
+WHERE rank = 1
+"""

@@ -114,8 +114,18 @@ def extract(
     spans: DataFrame,
     media: DataFrame,
     mode: str = "fused",
+    salt_buckets: int = 0,
 ) -> DataFrame:
-    """Run the full interleaved extraction. Returns (doc_id, out_spans)."""
+    """Run the full interleaved extraction. Returns (doc_id, out_spans).
+
+    ``salt_buckets > 0`` enables explicit two-phase salting of the final
+    per-document reassembly (SURVEY.md §4 item 1b): spans first aggregate on
+    ``(doc_id, salt)`` where ``salt = pmod(hash(doc_id, offset), S)``, then
+    the S partial arrays merge per doc. For media-heavy documents with very
+    many spans this bounds any single reducer's row count at ~1/S of the
+    doc; ordering is restored by the final sort on (offset), never by
+    arrival order.
+    """
     s = _exploded_spans(spans)
     text_spans = s.filter(F.col("kind") == "text").select(
         "doc_id",
@@ -137,21 +147,34 @@ def extract(
         "doc_id", "offset", "media_ref", "text", F.lit("media").alias("kind")
     )
     all_spans = text_spans.unionByName(media_out)
-    return (
-        all_spans.groupBy("doc_id")
-        .agg(
+    if salt_buckets > 0:
+        partial = (
+            all_spans.withColumn(
+                "salt", F.pmod(F.hash("doc_id", "offset"), F.lit(salt_buckets))
+            )
+            .groupBy("doc_id", "salt")
+            .agg(
+                F.collect_list(
+                    F.struct("offset", "kind", "text", "media_ref")
+                ).alias("part")
+            )
+        )
+        collected = partial.groupBy("doc_id").agg(
+            F.sort_array(F.flatten(F.collect_list("part"))).alias("arr")
+        )
+    else:
+        collected = all_spans.groupBy("doc_id").agg(
             F.sort_array(
                 F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
             ).alias("arr")
         )
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(arr, (x, i) -> "
-                "struct(x.kind as kind, x.text as text, "
-                "x.media_ref as media_ref, cast(i as int) as order))"
-            )
-            .cast(OUT_SPAN_TYPE)
-            .alias("out_spans"),
+    return collected.select(
+        "doc_id",
+        F.expr(
+            "transform(arr, (x, i) -> "
+            "struct(x.kind as kind, x.text as text, "
+            "x.media_ref as media_ref, cast(i as int) as order))"
         )
+        .cast(OUT_SPAN_TYPE)
+        .alias("out_spans"),
     )

@@ -18,11 +18,17 @@ def oracle_result(small_corpus):
     return extract_documents_oracle(spans_pdf, media_pdf)
 
 
-@pytest.mark.parametrize("mode", ["fused", "exploded"])
-def test_span_sequence_equality(spark, small_corpus, oracle_result, mode):
+@pytest.mark.parametrize(
+    ("mode", "salt"), [("fused", 0), ("exploded", 0), ("fused", 4)]
+)
+def test_span_sequence_equality(spark, small_corpus, oracle_result, mode, salt):
     corpus_dir, _, _ = small_corpus
     spans, media = load_corpus(spark, corpus_dir)
-    rows = extract(spark, spans, media, mode=mode).orderBy("doc_id").collect()
+    rows = (
+        extract(spark, spans, media, mode=mode, salt_buckets=salt)
+        .orderBy("doc_id")
+        .collect()
+    )
     assert len(rows) == len(oracle_result)
     for row, (_, orow) in zip(rows, oracle_result.iterrows()):
         assert row["doc_id"] == orow["doc_id"]

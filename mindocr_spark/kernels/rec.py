@@ -120,18 +120,35 @@ def match_glyph(patch_ink: np.ndarray) -> np.ndarray:
     return 1.0 - np.abs(t - bitmap[None]).mean(axis=(1, 2))
 
 
-def rec_logits(resized_crop: np.ndarray) -> np.ndarray:
-    """(32, W) float crop -> (T, 37) probs; blank-sandwiched glyph steps."""
+def analyze_crop(
+    resized_crop: np.ndarray,
+) -> list[tuple[tuple[int, int, int, int], np.ndarray]]:
+    """Segment a resized crop into glyph boxes and match each against all
+    templates. The single shared analysis consumed by BOTH the angle
+    classifier (orientation evidence) and the recognizer (CTC logits) — one
+    pass instead of three per crop."""
     ink = resized_crop < _INK_THRESH
-    boxes = _segment_glyphs(ink)
-    steps: list[np.ndarray] = []
+    return [
+        ((y0, y1, x0, x1), match_glyph(ink[y0:y1, x0:x1]))
+        for (y0, y1, x0, x1) in _segment_glyphs(ink)
+    ]
+
+
+def logits_from_analysis(
+    analysis: list[tuple[tuple[int, int, int, int], np.ndarray]],
+) -> np.ndarray:
+    """Glyph analyses -> (T, 37) probs; blank-sandwiched glyph steps."""
     blank = np.zeros(NUM_CLASSES, dtype=np.float32)
     blank[BLANK_IDX] = 1.0
-    steps.append(blank)
-    for y0, y1, x0, x1 in boxes:
-        sims = match_glyph(ink[y0:y1, x0:x1])
+    steps: list[np.ndarray] = [blank]
+    for _box, sims in analysis:
         row = np.zeros(NUM_CLASSES, dtype=np.float32)
         row[: len(sims)] = sims
         steps.append(row)
         steps.append(blank)
     return np.stack(steps).astype(np.float32)
+
+
+def rec_logits(resized_crop: np.ndarray) -> np.ndarray:
+    """(32, W) float crop -> (T, 37) probs (analyze + assemble)."""
+    return logits_from_analysis(analyze_crop(resized_crop))

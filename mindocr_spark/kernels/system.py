@@ -51,6 +51,27 @@ def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
     return ctc_greedy_decode(rec_logits(resized))
 
 
+def classify_and_recognize(crop: np.ndarray, use_cls: bool = True) -> tuple[str, float]:
+    """Fused cls+rec: one resize, one glyph analysis per orientation —
+    the cls evidence and the chosen orientation's CTC logits share the
+    analysis instead of recomputing it (3 passes -> 2)."""
+    from .cls import cls_probs_from_analyses
+    from .rec import analyze_crop, logits_from_analysis
+
+    resized = rec_resize_norm(crop)
+    up = analyze_crop(resized)
+    if not use_cls:
+        return ctc_greedy_decode(logits_from_analysis(up))
+    flipped = analyze_crop(rotate180(resized))
+    probs = cls_probs_from_analyses(up, flipped)
+    idx = int(probs.argmax())
+    if CLS_LABELS[idx] == "180" and float(probs[idx]) >= CLS_THRESH:
+        chosen = flipped
+    else:
+        chosen = up
+    return ctc_greedy_decode(logits_from_analysis(chosen))
+
+
 def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:
     """Full per-image system; returns kept records in reading order:
     ``[{"transcription": str, "score": float, "points": [[x,y]x4]}]``
@@ -58,9 +79,7 @@ def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:
     records: list[dict] = []
     for poly in detect_boxes(img):
         crop = crop_box(img, poly)
-        if use_cls:
-            crop, _label, _conf = classify_and_rotate(crop)
-        text, conf = recognize_crop(crop)
+        text, conf = classify_and_recognize(crop, use_cls=use_cls)
         if not text or conf < DROP_SCORE:
             continue
         records.append(

@@ -27,12 +27,11 @@ import pandas as pd
 from ..config import DROP_SCORE
 from ..functions.png_codec import decode_png
 from ..kernels.system import (
-    classify_and_rotate,
+    classify_and_recognize,
     crop_box,
     detect_boxes,
     media_span_text,
     ocr_image,
-    recognize_crop,
 )
 
 # schemas for mapInPandas stages
@@ -122,9 +121,7 @@ def recognize_iter(
         confs: list[float] = []
         for blob, h, w in zip(pdf["crop"], pdf["crop_h"], pdf["crop_w"]):
             crop = np.frombuffer(blob, dtype=np.float32).reshape(int(h), int(w))
-            if use_cls:
-                crop, _label, _conf = classify_and_rotate(crop)
-            text, conf = recognize_crop(crop)
+            text, conf = classify_and_recognize(crop, use_cls=use_cls)
             texts.append(text)
             confs.append(conf)
         yield pd.DataFrame(

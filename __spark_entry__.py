@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ivf_topk": similarity.ivf_topk,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # text analysis
         "quality_scores": quality.quality_scores,
         "token_counts": quality.token_counts,
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
+        "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "quality_scores": quality.QUALITY_SQL,
         "token_counts": quality.TOKEN_COUNTS_SQL,
         "lang_id": quality.LANG_ID_SQL,

@@ -262,3 +262,48 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM sims)
 WHERE rank = 1
 """
+
+
+NEAR_DUP_COS = 0.45
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold; 0.45 here so the synthetic corpus yields pairs), all-pairs exact.
+
+    The scale path prefilters candidates with the sign-LSH buckets
+    (``ann_lsh_topk``) before the exact pass; at sf scale the exact
+    quadratic form doubles as the oracle-checkable ground truth.
+    """
+    emb = _with_norm(_emb(spark, sf_dir))
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 4
+            ),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("doc_a", "doc_b", "cos")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round({_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) >= {NEAR_DUP_COS}
+"""

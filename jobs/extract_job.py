@@ -25,6 +25,7 @@ def main() -> None:
     ap.add_argument("--mode", default="fused", choices=["fused", "exploded"])
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--run-id", default="run")
+    ap.add_argument("--salt-buckets", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +47,7 @@ def main() -> None:
         mode=args.mode,
         n_buckets=args.n_buckets,
         run_id=args.run_id,
+        salt_buckets=args.salt_buckets,
     )
     print(json.dumps(stats))
     spark.stop()

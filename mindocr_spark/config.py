@@ -33,7 +33,9 @@ NUM_CLASSES = len(CHARSET) + 1  # +1 CTC blank, appended last
 BLANK_IDX = len(CHARSET)
 REC_TARGET_HEIGHT = 32
 REC_MAX_WH_RATIO = 32.0  # width cap = target_h * max_wh_ratio
-REC_BATCH_NUM = 8  # model micro-batch inside a UDF Arrow batch
+REC_BATCH_NUM = 8  # reference's model micro-batch (predict_rec.py:139-197);
+# the template scorer is per-crop so micro-batching is a no-op here — the
+# Arrow batch (ARROW_MAX_RECORDS) plays this role
 
 # --- classification ----------------------------------------------------
 CLS_LABELS = ("0", "180")
@@ -49,4 +51,4 @@ SORTED_BOXES_YTOL = 10  # same-line tolerance (reference utils.py:95-103)
 # when media rows are large (256 x 100KB images = ~26MB per in-flight batch)
 ARROW_MAX_RECORDS = 256
 SHUFFLE_PARTITIONS = 32
-SKEW_SALT_BUCKETS = 8  # salting for media-heavy docs
+SKEW_SALT_BUCKETS = 8  # default for extract(salt_buckets=...) / --salt-buckets

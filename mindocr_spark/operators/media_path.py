@@ -24,7 +24,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from ..config import DROP_SCORE
 from ..functions.png_codec import decode_png
 from ..kernels.system import (
     classify_and_recognize,

@@ -66,6 +66,7 @@ def run_extract_job(
     mode: str = "fused",
     n_buckets: int = 32,
     run_id: str = "run",
+    salt_buckets: int = 0,
 ) -> dict:
     """Run (or resume) the bucketed extraction job. Returns stats."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -74,7 +75,10 @@ def run_extract_job(
     if done:
         todo_spans = todo_spans.filter(~F.col("bucket").isin(sorted(done)))
     t0 = time.time()
-    result = extract(spark, todo_spans.drop("bucket"), media, mode=mode)
+    result = extract(
+        spark, todo_spans.drop("bucket"), media, mode=mode,
+        salt_buckets=salt_buckets,
+    )
     result = result.withColumn("bucket", _bucket_col(n_buckets))
     result.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
     wall = time.time() - t0

@@ -70,7 +70,8 @@ def _run_extraction_throughput(cores: int, corpus_dir: str) -> tuple[float, int]
     # throughput (what a long-running 100TB job sees), not JVM+worker spawn
     _materialize(extract(spark, spans.limit(64), media, mode="fused"))
     best = None
-    for _ in range(2):  # best-of-2: scheduler/GC noise is ~15% per sample
+    reps = 2 if cores >= 8 else 1  # short runs are noisy; long runs self-average
+    for _ in range(reps):  # best-of-N: scheduler/GC noise is ~15% per sample
         t0 = time.time()
         _materialize(extract(spark, spans, media, mode="fused"))
         dt = time.time() - t0

@@ -129,3 +129,44 @@ def render_page(
             # restore clockwise-from-topleft order after point reflection
             rec["points"] = [rec["points"][2], rec["points"][3], rec["points"][0], rec["points"][1]]
     return page, gt
+
+
+def render_table(
+    cell_words: list[list[str]],
+    cell_w: int = 224,
+    cell_h: int = 64,
+    scale: int = 4,
+    line_px: int = 2,
+) -> tuple[np.ndarray, list[list[str]]]:
+    """Render a ruled table: grid lines + one word per cell (or '').
+
+    Returns (gray image with dims padded to multiples of 32, the cell-word
+    matrix as ground truth). Cell geometry respects the detection
+    invariants (words well inside cells, lines far from glyphs).
+    """
+    n_rows = len(cell_words)
+    n_cols = len(cell_words[0])
+    height0 = n_rows * cell_h + line_px
+    width0 = n_cols * cell_w + line_px
+    height = ((height0 + 31) // 32) * 32
+    width = ((width0 + 31) // 32) * 32
+    page = np.full((height, width), 255, dtype=np.uint8)
+    for r in range(n_rows + 1):
+        y = r * cell_h
+        page[y : y + line_px, : width0] = 0
+    for c in range(n_cols + 1):
+        x = c * cell_w
+        page[:height0, x : x + line_px] = 0
+    for r in range(n_rows):
+        for c in range(n_cols):
+            word = cell_words[r][c]
+            if not word:
+                continue
+            img = render_word(word, scale)
+            gh, gw = img.shape
+            y = r * cell_h + (cell_h - gh) // 2
+            x = c * cell_w + 16
+            page[y : y + gh, x : x + gw] = np.minimum(
+                page[y : y + gh, x : x + gw], img
+            )
+    return page, cell_words

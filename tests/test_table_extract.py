@@ -1,0 +1,59 @@
+"""Ruled-table extraction: grid detect -> line-erased OCR -> cell matching
+== rendered ground truth, single-process and as a Spark stage."""
+
+import pandas as pd
+import pytest
+
+from mindocr_spark.functions.glyphs import render_table
+from mindocr_spark.functions.png_codec import encode_png
+from mindocr_spark.kernels.table import detect_grid, extract_table
+
+TABLES = [
+    [["alpha", "beta", ""], ["one42", "", "total"]],
+    [["x1"]],
+    [["north", "south"], ["east99", "west"], ["", "gold"]],
+]
+
+
+@pytest.mark.parametrize("cells", TABLES)
+def test_extract_table_exact(cells):
+    page, gt = render_table(cells)
+    out = extract_table(page)
+    assert out["n_rows"] == len(cells)
+    assert out["n_cols"] == len(cells[0])
+    assert out["cells"] == gt
+
+
+def test_no_grid_returns_empty():
+    from mindocr_spark.functions.glyphs import render_page
+
+    page, _ = render_page([("hello", 20, 20)], 96, 224)
+    assert extract_table(page) == {"n_rows": 0, "n_cols": 0, "cells": []}
+
+
+def test_detect_grid_positions():
+    page, _ = render_table([["ab", "cd"]], cell_w=224, cell_h=64)
+    h_lines, v_lines = detect_grid(page)
+    assert h_lines == [0, 64]
+    assert v_lines == [0, 224, 448]
+
+
+def test_table_cells_spark_stage(spark):
+    from mindocr_spark.operators.table_path import (
+        TABLE_CELLS_SCHEMA,
+        table_cells_iter,
+    )
+
+    rows = []
+    for i, cells in enumerate(TABLES):
+        page, _ = render_table(cells)
+        rows.append({"media_ref": f"t{i}", "image": encode_png(page)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = df.mapInPandas(table_cells_iter, TABLE_CELLS_SCHEMA).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["media_ref"], {})[(r["row"], r["col"])] = r["text"]
+    for i, cells in enumerate(TABLES):
+        for r, row_cells in enumerate(cells):
+            for c, text in enumerate(row_cells):
+                assert got[f"t{i}"][(r, c)] == text

@@ -30,8 +30,13 @@ def detect_boxes(img: np.ndarray) -> list[np.ndarray]:
 
 
 def crop_box(img: np.ndarray, poly: np.ndarray) -> np.ndarray:
-    """Perspective-crop one quad (``crop_text_region`` semantics)."""
-    return warp_perspective_crop(img, poly.astype(np.float64))
+    """Perspective-crop one quad (``crop_text_region`` semantics).
+
+    Returns uint8 — cv2.warpPerspective on a uint8 source yields uint8
+    (rounded), and the reference feeds uint8 crops to cls/rec preprocess.
+    Also quarters the crop-shuffle bytes in exploded mode."""
+    out = warp_perspective_crop(img, poly.astype(np.float64))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def classify_and_rotate(crop: np.ndarray) -> tuple[np.ndarray, str, float]:

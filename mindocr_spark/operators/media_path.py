@@ -10,7 +10,7 @@ Two physical strategies, same semantics:
 - **exploded**: a det stage emits one output row per crop (the reference's
   ``DetPostNode`` crop fan-out, ``det_post_node.py:19-52``), letting Spark
   redistribute recognition work across executors — the skew answer for
-  1000-box images. Crops travel as raw float32 bytes + dims (cheaper than
+  1000-box images. Crops travel as raw uint8 bytes + dims (cheaper than
   re-encoding PNG); order is preserved by an explicit ``box_idx`` from the
   reading-order sort, never by row order.
 
@@ -100,7 +100,7 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if img is None:
                 continue
             for idx, poly in enumerate(detect_boxes(img)):
-                crop = crop_box(img, poly).astype(np.float32)
+                crop = crop_box(img, poly)  # uint8
                 out["doc_id"].append(doc_id)
                 out["offset"].append(offset)
                 out["media_ref"].append(media_ref)
@@ -119,7 +119,7 @@ def recognize_iter(
         texts: list[str] = []
         confs: list[float] = []
         for blob, h, w in zip(pdf["crop"], pdf["crop_h"], pdf["crop_w"]):
-            crop = np.frombuffer(blob, dtype=np.float32).reshape(int(h), int(w))
+            crop = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
             text, conf = classify_and_recognize(crop, use_cls=use_cls)
             texts.append(text)
             confs.append(conf)

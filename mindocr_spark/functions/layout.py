@@ -62,3 +62,13 @@ def sorted_layout_boxes(regions: list[dict], page_width: int) -> list[dict]:
         r["layout"] = "triple" if center else "double"
         ordered.append(r)
     return ordered
+
+
+def recover_page_text(regions: list[dict], page_width: int) -> str:
+    """Reading-ordered page text from OCR'd layout regions — the text-level
+    equivalent of the reference's docx reconstruction
+    (``recovery_to_doc.convert_info_docx``): regions ordered by
+    ``sorted_layout_boxes``, texts joined by newline; empty regions dropped.
+    Each region: {"bbox": [...], "text": str}."""
+    ordered = sorted_layout_boxes(regions, page_width)
+    return "\n".join(r["text"] for r in ordered if r.get("text"))

@@ -47,3 +47,22 @@ def test_single_column_many():
     out = sorted_layout_boxes(regions, W)
     assert all(r["layout"] == "single" for r in out)
     assert [r["bbox"][1] for r in out] == [10, 100]  # top-to-bottom
+
+
+def test_recover_page_text_order():
+    from mindocr_spark.functions.layout import recover_page_text
+
+    regions = [
+        {"bbox": [10, 100, 250, 130], "text": "left column lower"},
+        {"bbox": [20, 10, 700, 40], "text": "spanning title"},
+        {"bbox": [650, 95, 880, 125], "text": "right column"},
+        {"bbox": [12, 60, 240, 90], "text": "left column upper"},
+        {"bbox": [660, 200, 870, 230], "text": ""},
+    ]
+    out = recover_page_text(regions, W)
+    assert out.splitlines() == [
+        "spanning title",
+        "left column upper",
+        "left column lower",
+        "right column",
+    ]

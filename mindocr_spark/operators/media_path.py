@@ -82,32 +82,43 @@ def ocr_fused_iter(
 
 
 def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, offset, media_ref, image) -> one row per crop.
+    """(doc_id, offset, media_ref, image) -> one row per crop + one sentinel
+    row (box_idx = -1, empty crop) per media span.
 
     ``box_idx`` is the reading-order index (``sorted_boxes`` applied inside
-    ``detect_boxes``); an image with zero detections emits nothing — the
-    plan restores empty media spans with a left join.
+    ``detect_boxes``). The sentinel guarantees every media span — including
+    unreadable/missing media and spans whose every crop falls to the
+    drop-score filter — survives the downstream groupBy without a restore
+    join (it contributes an empty text the final assembly drops).
     """
     for pdf in batches:
         out: dict[str, list] = {
             "doc_id": [], "offset": [], "media_ref": [],
             "box_idx": [], "crop": [], "crop_h": [], "crop_w": [],
         }
+
+        def emit(doc_id, offset, media_ref, idx, blob, ch, cw):
+            out["doc_id"].append(doc_id)
+            out["offset"].append(offset)
+            out["media_ref"].append(media_ref)
+            out["box_idx"].append(idx)
+            out["crop"].append(blob)
+            out["crop_h"].append(ch)
+            out["crop_w"].append(cw)
+
         for doc_id, offset, media_ref, png in zip(
             pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
         ):
+            emit(doc_id, offset, media_ref, -1, b"", 0, 0)  # sentinel
             img = _safe_decode(png)
             if img is None:
                 continue
             for idx, poly in enumerate(detect_boxes(img)):
                 crop = crop_box(img, poly)  # uint8
-                out["doc_id"].append(doc_id)
-                out["offset"].append(offset)
-                out["media_ref"].append(media_ref)
-                out["box_idx"].append(idx)
-                out["crop"].append(crop.tobytes())
-                out["crop_h"].append(crop.shape[0])
-                out["crop_w"].append(crop.shape[1])
+                emit(
+                    doc_id, offset, media_ref, idx,
+                    crop.tobytes(), crop.shape[0], crop.shape[1],
+                )
         yield pd.DataFrame(out)
 
 
@@ -118,7 +129,13 @@ def recognize_iter(
     for pdf in batches:
         texts: list[str] = []
         confs: list[float] = []
-        for blob, h, w in zip(pdf["crop"], pdf["crop_h"], pdf["crop_w"]):
+        for blob, h, w, bidx in zip(
+            pdf["crop"], pdf["crop_h"], pdf["crop_w"], pdf["box_idx"]
+        ):
+            if int(bidx) < 0:  # sentinel: no OCR, empty text
+                texts.append("")
+                confs.append(0.0)
+                continue
             crop = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
             text, conf = classify_and_recognize(crop, use_cls=use_cls)
             texts.append(text)

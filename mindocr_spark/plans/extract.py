@@ -80,7 +80,7 @@ def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
 
 
 def _media_texts_exploded(media_spans: DataFrame, media: DataFrame) -> DataFrame:
-    joined = media_spans.join(media.select("media_ref", "image"), "media_ref")
+    joined = media_spans.join(media.select("media_ref", "image"), "media_ref", "left")
     joined = joined.repartition(_cpu_partitions(joined), "media_ref")
     crops = joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
         det_crops_iter, DET_CROPS_SCHEMA
@@ -91,24 +91,27 @@ def _media_texts_exploded(media_spans: DataFrame, media: DataFrame) -> DataFrame
     # width-sorted batching (infer_rec.py:110) to keep Arrow batches shaped
     # alike inside the rec UDF.
     crops = crops.repartition(F.col("media_ref"), F.col("box_idx")).sortWithinPartitions(
-        (F.col("crop_w") / F.col("crop_h")).asc()
+        (F.col("crop_w") / F.greatest(F.col("crop_h"), F.lit(1))).asc()
     )
     rec = crops.mapInPandas(recognize_iter, REC_SCHEMA)
-    kept = rec.filter((F.col("conf") >= F.lit(DROP_SCORE)) & (F.col("text") != ""))
-    agg = kept.groupBy("doc_id", "offset", "media_ref").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("box_idx", "text"))),
-                lambda x: x["text"],
-            ),
-        ).alias("text")
+    # keep scored crops passing drop-score AND the per-span sentinel rows
+    # (box_idx < 0), so every media span survives the groupBy — no restore
+    # join needed (sentinel text '' is filtered out of the final join below)
+    kept = rec.filter(
+        ((F.col("conf") >= F.lit(DROP_SCORE)) & (F.col("text") != ""))
+        | (F.col("box_idx") < 0)
     )
-    # restore media spans with zero kept detections as empty text
-    return (
-        media_spans.select("doc_id", "offset", "media_ref")
-        .join(agg, ["doc_id", "offset", "media_ref"], "left")
-        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    return kept.groupBy("doc_id", "offset", "media_ref").agg(
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("box_idx", "text"))),
+                    lambda x: x["text"],
+                ),
+                lambda t: t != "",
+            ),
+            " ",
+        ).alias("text")
     )
 
 

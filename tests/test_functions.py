@@ -264,3 +264,44 @@ class TestHtmlText:
 
     def test_none(self):
         assert extract_main_text(None) == ""
+
+
+class TestCharDict:
+    def test_default_dict(self):
+        from mindocr_spark.functions.chardict import load_char_dict
+
+        chars = load_char_dict()
+        assert len(chars) == 36 and chars[0] == "0" and chars[-1] == "z"
+
+    def test_file_dict_and_space(self, tmp_path):
+        from mindocr_spark.functions.chardict import load_char_dict
+
+        p = tmp_path / "dict.txt"
+        p.write_text("a\nb\nc\n")
+        assert load_char_dict(str(p)) == ["a", "b", "c"]
+        assert load_char_dict(str(p), use_space_char=True) == ["a", "b", "c", " "]
+
+    def test_reference_en_dict_loads(self):
+        import os
+
+        from mindocr_spark.functions.chardict import load_char_dict
+
+        ref = "/root/reference/mindocr/utils/dict/en_dict.txt"
+        if not os.path.exists(ref):
+            return
+        chars = load_char_dict(ref)
+        assert len(chars) > 36 and "A" in chars
+
+    def test_ctc_effective_len(self):
+        from mindocr_spark.functions.chardict import ctc_effective_len
+
+        assert ctc_effective_len("abc") == 3
+        assert ctc_effective_len("aabcc") == 7
+        assert ctc_effective_len("") == 0
+
+    def test_valid_rec_label(self):
+        from mindocr_spark.functions.chardict import valid_rec_label
+
+        assert valid_rec_label("hello", 10)
+        assert not valid_rec_label("aa", 2)  # effective len 3 > 2
+        assert not valid_rec_label("!!!", 10)  # nothing in-dict

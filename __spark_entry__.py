@@ -86,12 +86,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders": relational.customers_with_orders,
         "orders_without_lineitems": relational.orders_without_lineitems,
         "returnflag_rollup": relational.returnflag_rollup,
+        "hourly_event_stats": relational.hourly_event_stats,
         # dedup suite
         "exact_dup_groups": dedup.exact_dup_groups,
         "prefix_dup_groups": dedup.prefix_dup_groups,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -123,11 +125,13 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": relational.CUSTOMERS_WITH_ORDERS_SQL,
         "orders_without_lineitems": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
         "returnflag_rollup": relational.RETURNFLAG_ROLLUP_SQL,
+        "hourly_event_stats": relational.HOURLY_EVENT_SQL,
         "exact_dup_groups": dedup.EXACT_DUP_SQL,
         "prefix_dup_groups": dedup.PREFIX_DUP_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
         "simhash_signatures": dedup.SIMHASH_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "simhash_near_pairs": dedup.SIMHASH_NEAR_PAIRS_SQL,
         "cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,

@@ -235,3 +235,48 @@ JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
 """
+
+
+SIMHASH_HAMMING_MAX = 20
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance <= 20 of the
+    60-bit signatures (bit_count(xor) — native in Spark and the oracle).
+
+    At scale: band the signature into 4x15-bit keys and bucket-join
+    (pigeonhole: hamming<=3 implies a shared band) before the exact
+    hamming check; the exact quadratic form here doubles as the oracle."""
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn(
+            "hamming", F.expr("cast(bit_count(ha ^ hb) as int)")
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_NEAR_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text,' '))),1,15))::BIGINT AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+  FROM toks, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum((CASE WHEN s >= 0 THEN 1::BIGINT ELSE 0 END) << b)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""

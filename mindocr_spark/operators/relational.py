@@ -418,3 +418,28 @@ SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of a streaming window):
+    hourly event counts and value sums per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+HOURLY_EVENT_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""

@@ -107,3 +107,21 @@ def test_empty_spans_doc_survives(spark):
     assert set(rows) == {"doc_a", "doc_b"}
     assert rows["doc_b"]["out_spans"] == []
     assert rows["doc_a"]["out_spans"][0]["text"] == "hello there"
+
+
+def test_partitioning_invariance(spark, small_corpus):
+    """Same result regardless of shuffle partitioning (no implicit-order
+    dependence anywhere in the plan)."""
+    corpus_dir, _, _ = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = extract(spark, spans.repartition(3), media.repartition(5), mode="fused").orderBy("doc_id").collect()
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        b = extract(spark, spans.repartition(11), media.repartition(2), mode="exploded").orderBy("doc_id").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert [_spans_tuples(r["out_spans"]) for r in a] == [
+        _spans_tuples(r["out_spans"]) for r in b
+    ]

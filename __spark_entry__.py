@@ -61,6 +61,69 @@ def _ocr_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ocr_eval_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICDAR-style eval driven end-to-end on generated goldens: render a
+    40-doc synthetic corpus (deterministic, sf-independent), OCR the media,
+    evaluate det P/R/F and e2e accuracy against the renderer's ground
+    truth. Expected row: all metrics 1.0."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.data.gen_corpus import gen_corpus_pandas
+    from mindocr_spark.metrics import det_metric, e2e_eval
+    from mindocr_spark.operators.media_path import (
+        OCR_RECORDS_SCHEMA,
+        ocr_records_iter,
+    )
+
+    _, media_pdf = gen_corpus_pandas(40, seed=42)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": media_pdf["media_ref"],
+                "image": media_pdf["image"],
+            }
+        )
+    )
+    n = media.sparkSession.sparkContext.defaultParallelism * 2
+    recs = media.repartition(n, "media_ref").mapInPandas(
+        ocr_records_iter, OCR_RECORDS_SCHEMA
+    )
+    preds = (
+        recs.withColumn("pts", F.from_json("points", "array<array<int>>"))
+        .groupBy("media_ref")
+        .agg(
+            F.to_json(
+                F.collect_list(
+                    F.struct(
+                        F.col("transcription").alias("transcription"),
+                        F.col("pts").alias("points"),
+                    )
+                )
+            ).alias("pred_json")
+        )
+    )
+    gt = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_ref": media_pdf["media_ref"], "gt_json": media_pdf["gt"]}
+        )
+    )
+    j = preds.join(gt, "media_ref").withColumnRenamed("media_ref", "img")
+    det_in = j.select(
+        "img",
+        F.expr("to_json(transform(from_json(pred_json, 'array<struct<transcription:string,points:array<array<int>>>>'), x -> x.points))").alias("pred_polys"),
+        F.expr("to_json(transform(from_json(gt_json, 'array<struct<transcription:string,points:array<array<int>>>>'), x -> x.points))").alias("gt_polys"),
+        F.expr("to_json(transform(from_json(gt_json, 'array<struct<transcription:string,points:array<array<int>>>>'), x -> x.transcription in ('###','*')))").alias("gt_ignore"),
+    )
+    det = det_metric(det_in).select("recall", "precision", "f_score")
+    e2e = e2e_eval(j.select("img", "pred_json", "gt_json")).select(
+        "correct_num", "total_num", "acc"
+    )
+    return det.crossJoin(e2e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mindocr_spark.operators import dedup, quality, relational, similarity
 
@@ -71,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_interleaved_exploded": _extract_interleaved_exploded,
         "ocr_golden_records": _ocr_golden_records,
         "image_meta_derived": _image_meta_derived,
+        "ocr_eval_selftest": _ocr_eval_selftest,
         # relational skeleton (SURVEY.md §2.2-2.6)
         "pricing_summary": relational.pricing_summary,
         "order_revenue_topn": relational.order_revenue_topn,

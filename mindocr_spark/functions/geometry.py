@@ -65,7 +65,37 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
 
     Returns (corners (4,2) float64, short_side, long_side). Corners are in
     clockwise order starting top-left (see ``order_points_clockwise``).
+
+    Fast path: when all four bounding-box corners are themselves in the
+    point set (the shape of per-row extremes of an axis-aligned filled
+    region), the bbox is provably the minimum rectangle — the minimal
+    enclosing rectangle of a rectangle's corners is that rectangle — so the
+    hull/calipers can be skipped.
     """
+    pts0 = np.asarray(points, dtype=np.float64)
+    if len(pts0) >= 4:
+        xs = pts0[:, 0]
+        ys = pts0[:, 1]
+        x0 = xs.min()
+        x1 = xs.max()
+        y0 = ys.min()
+        y1 = ys.max()
+        if x1 > x0 and y1 > y0:
+            on_x0 = xs == x0
+            on_x1 = xs == x1
+            corners_present = (
+                np.any(on_x0 & (ys == y0))
+                and np.any(on_x1 & (ys == y0))
+                and np.any(on_x1 & (ys == y1))
+                and np.any(on_x0 & (ys == y1))
+            )
+            if corners_present and np.all(on_x0 | on_x1 | (ys == y0) | (ys == y1)):
+                rect = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+                )
+                w = float(x1 - x0)
+                h = float(y1 - y0)
+                return rect, float(min(w, h)), float(max(w, h))
     hull = convex_hull(points)
     if len(hull) == 1:
         c = np.tile(hull[0], (4, 1))

@@ -64,4 +64,5 @@ def test_queries_oracle_keys_consistent():
         "extract_interleaved_exploded",
         "ocr_golden_records",
         "image_meta_derived",
+        "ocr_eval_selftest",
     }

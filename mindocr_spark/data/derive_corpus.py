@@ -55,6 +55,24 @@ def spans_for_doc(
     did = f"doc_{int(doc_id):08d}"
     wrapper = _WRAPPERS[int(doc_id) % len(_WRAPPERS)]
     words = media_words_for(text)
+    # every 4th document's media is a text-layer PDF instead of an image
+    if int(doc_id) % 4 == 0:
+        from ..functions.pdf_text import make_simple_pdf
+
+        media_ref = f"pdf_{int(doc_id):08d}_01"
+        spans = [
+            {"kind": "text", "text": wrapper.format(text), "media_ref": None, "offset": 0},
+            {"kind": "media", "text": None, "media_ref": media_ref, "offset": 1},
+        ]
+        media = [
+            {
+                "media_ref": media_ref,
+                "image": make_simple_pdf([" ".join(words)]),
+                "width": 0,
+                "height": 0,
+            }
+        ]
+        return [{"doc_id": did, "spans": spans}], media
     media_ref = f"img_{int(doc_id):08d}_01"
     spans = [
         {"kind": "text", "text": wrapper.format(text), "media_ref": None, "offset": 0},

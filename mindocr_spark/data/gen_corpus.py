@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.glyphs import glyph_bitmap, render_page
+from ..functions.pdf_text import make_simple_pdf
 from ..functions.png_codec import encode_png
 
 
@@ -130,6 +131,12 @@ def make_media_image(
     return png, width, height, json.dumps(gt), " ".join(words)
 
 
+def make_media_pdf(rng: np.random.RandomState) -> tuple[bytes, str]:
+    """A synthetic text-layer PDF media payload (north rule: PDF parse)."""
+    lines = [_sentence(rng, 3, 7) for _ in range(int(rng.randint(1, 4)))]
+    return make_simple_pdf(lines), " ".join(lines)
+
+
 def gen_doc(
     seed: int, doc_index: int, media_heavy_frac: float = 0.05
 ) -> tuple[dict, list[dict]]:
@@ -153,15 +160,21 @@ def gen_doc(
                 {"kind": "text", "text": html, "media_ref": None, "offset": offset}
             )
         else:
-            media_ref = f"img_{doc_index:08d}_{offset:02d}"
-            png, width, height, gt_json, expected = make_media_image(rng)
+            if rng.rand() < 0.15:  # PDF media (text layer, no rendering)
+                media_ref = f"pdf_{doc_index:08d}_{offset:02d}"
+                payload, expected = make_media_pdf(rng)
+                width = height = 0
+                gt_json = "[]"
+            else:
+                media_ref = f"img_{doc_index:08d}_{offset:02d}"
+                payload, width, height, gt_json, expected = make_media_image(rng)
             spans.append(
                 {"kind": "media", "text": None, "media_ref": media_ref, "offset": offset}
             )
             media_rows.append(
                 {
                     "media_ref": media_ref,
-                    "image": png,
+                    "image": payload,
                     "width": width,
                     "height": height,
                     "gt": gt_json,

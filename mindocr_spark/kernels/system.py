@@ -97,6 +97,35 @@ def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:
     return records
 
 
+def media_payload_text(payload: bytes | None, use_cls: bool = True) -> str:
+    """Route a media payload by magic bytes: PDFs go through the text-layer
+    parser (north rule: 'PDF/layout parse'), images through decode+OCR;
+    junk/missing yields '' (decode-skip semantics)."""
+    if payload is None:
+        return ""
+    payload = bytes(payload)
+    if payload.startswith(b"%PDF"):
+        from ..functions.pdf_text import extract_pdf_text
+
+        try:
+            return extract_pdf_text(payload)
+        except Exception:  # noqa: BLE001
+            return ""
+    from ..functions.png_codec import decode_png
+
+    try:
+        img = decode_png(payload)
+    except Exception:  # noqa: BLE001
+        return ""
+    if img.ndim == 3:
+        img = (
+            (299 * img[:, :, 0].astype(np.uint32)
+             + 587 * img[:, :, 1].astype(np.uint32)
+             + 114 * img[:, :, 2].astype(np.uint32)) // 1000
+        ).astype(np.uint8)
+    return media_span_text(img, use_cls=use_cls)
+
+
 def media_span_text(img: np.ndarray, use_cls: bool = True) -> str:
     """The extracted text of one media span: kept transcriptions in reading
     order joined by single spaces (join convention from

@@ -29,7 +29,7 @@ from ..kernels.system import (
     classify_and_recognize,
     crop_box,
     detect_boxes,
-    media_span_text,
+    media_payload_text,
     ocr_image,
 )
 
@@ -68,9 +68,8 @@ def ocr_fused_iter(
     """(doc_id, offset, media_ref, image) -> (doc_id, offset, media_ref, text)."""
     for pdf in batches:
         texts = []
-        for png in pdf["image"]:
-            img = _safe_decode(png)
-            texts.append("" if img is None else media_span_text(img, use_cls=use_cls))
+        for blob in pdf["image"]:
+            texts.append(media_payload_text(blob, use_cls=use_cls))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -110,6 +109,15 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
         ):
             emit(doc_id, offset, media_ref, -1, b"", 0, 0)  # sentinel
+            if png is not None and bytes(png).startswith(b"%PDF"):
+                # PDF media: text layer extracted here; carried verbatim to
+                # the rec stage as a box_idx=-2 row (no crops to explode)
+                text = media_payload_text(png)
+                emit(
+                    doc_id, offset, media_ref, -2,
+                    text.encode("utf-8"), len(text), 0,
+                )
+                continue
             img = _safe_decode(png)
             if img is None:
                 continue
@@ -132,6 +140,10 @@ def recognize_iter(
         for blob, h, w, bidx in zip(
             pdf["crop"], pdf["crop_h"], pdf["crop_w"], pdf["box_idx"]
         ):
+            if int(bidx) == -2:  # verbatim payload text (PDF text layer)
+                texts.append(bytes(blob).decode("utf-8"))
+                confs.append(1.0)
+                continue
             if int(bidx) < 0:  # sentinel: no OCR, empty text
                 texts.append("")
                 confs.append(0.0)

@@ -17,8 +17,7 @@ from __future__ import annotations
 import pandas as pd
 
 from ..functions.html_text import extract_main_text
-from ..functions.png_codec import decode_png
-from ..kernels.system import media_span_text
+from ..kernels.system import media_payload_text
 
 
 def extract_documents_oracle(
@@ -38,17 +37,8 @@ def extract_documents_oracle(
                 text = extract_main_text(span["text"])
                 media_ref = None
             else:
-                png = media_lookup.get(span["media_ref"])
-                if png is None:
-                    text = ""
-                else:
-                    try:
-                        img = decode_png(png)
-                    except ValueError:
-                        # unreadable media: skip-and-count semantics
-                        # (decode_node.py:30-42) -> empty text
-                        img = None
-                    text = media_span_text(img, use_cls=use_cls) if img is not None else ""
+                payload = media_lookup.get(span["media_ref"])
+                text = media_payload_text(payload, use_cls=use_cls)
                 media_ref = span["media_ref"]
             out_spans.append(
                 {

@@ -15,11 +15,12 @@ from mindocr_spark.operators.multimodal import (
 @pytest.fixture(scope="module")
 def media_df(spark, small_corpus):
     _, _, media_pdf = small_corpus
+    imgs = media_pdf[media_pdf["media_ref"].str.startswith("img_")].head(6)
     return spark.createDataFrame(
         pd.DataFrame(
             {
-                "media_ref": media_pdf["media_ref"].head(6).tolist(),
-                "image": media_pdf["image"].head(6).tolist(),
+                "media_ref": imgs["media_ref"].tolist(),
+                "image": imgs["image"].tolist(),
             }
         )
     )
@@ -28,7 +29,8 @@ def media_df(spark, small_corpus):
 def test_image_meta(spark, media_df, small_corpus):
     _, _, media_pdf = small_corpus
     rows = {r["media_ref"]: r for r in image_meta(media_df).collect()}
-    for _, m in media_pdf.head(6).iterrows():
+    imgs = media_pdf[media_pdf["media_ref"].str.startswith("img_")].head(6)
+    for _, m in imgs.iterrows():
         r = rows[m["media_ref"]]
         assert r["ok"] and r["width"] == m["width"] and r["height"] == m["height"]
         assert r["channels"] == 1

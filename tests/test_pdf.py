@@ -1,0 +1,68 @@
+"""PDF text-layer parse (north rule: 'PDF/layout parse')."""
+
+import zlib
+
+import pytest
+
+from mindocr_spark.functions.pdf_text import extract_pdf_text, make_simple_pdf
+from mindocr_spark.kernels.system import media_payload_text
+
+
+def test_roundtrip_compressed():
+    pdf = make_simple_pdf(["hello world", "line two 42"])
+    assert pdf.startswith(b"%PDF")
+    assert extract_pdf_text(pdf) == "hello world line two 42"
+
+
+def test_roundtrip_uncompressed():
+    pdf = make_simple_pdf(["plain stream"], compress=False)
+    assert extract_pdf_text(pdf) == "plain stream"
+
+
+def test_escapes_and_parens():
+    pdf = make_simple_pdf(["a (quoted) \\ backslash"])
+    assert extract_pdf_text(pdf) == "a (quoted) \\ backslash"
+
+
+def test_tj_array_operator():
+    # hand-built TJ array form
+    content = b"BT [(kerned) -120 (pair)] TJ ET"
+    body = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "kerned pair"
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"plain bytes")
+
+
+def test_payload_router():
+    pdf = make_simple_pdf(["routed text"])
+    assert media_payload_text(pdf) == "routed text"
+    assert media_payload_text(b"junk") == ""
+    assert media_payload_text(None) == ""
+    # corrupt PDF body -> empty, not crash
+    assert media_payload_text(b"%PDF-1.4 garbage") == ""
+
+
+def test_corpus_contains_pdfs_and_matches_expected():
+    from mindocr_spark.data.gen_corpus import gen_corpus_pandas
+    from mindocr_spark.oracle.pipeline import extract_documents_oracle
+
+    spans, media = gen_corpus_pandas(40, seed=42)
+    pdf_rows = media[media["media_ref"].str.startswith("pdf_")]
+    assert len(pdf_rows) > 0
+    out = extract_documents_oracle(spans, media)
+    expected = dict(zip(media["media_ref"], media["expected_text"]))
+    n = 0
+    for _, r in out.iterrows():
+        for s in r["out_spans"]:
+            if s["media_ref"] and s["media_ref"].startswith("pdf_"):
+                assert s["text"] == expected[s["media_ref"]]
+                n += 1
+    assert n == len(pdf_rows)

@@ -123,6 +123,17 @@ def media_payload_text(payload: bytes | None, use_cls: bool = True) -> str:
              + 587 * img[:, :, 1].astype(np.uint32)
              + 114 * img[:, :, 2].astype(np.uint32)) // 1000
         ).astype(np.uint8)
+    # ruled-table images take the table-structure path (grid lines would
+    # otherwise be mis-read as glyph blobs); cells joined row-major,
+    # matching the reference's table e2e text assembly
+    from .table import detect_grid, extract_table
+
+    h_lines, v_lines = detect_grid(img)
+    if len(h_lines) >= 2 and len(v_lines) >= 2:
+        table = extract_table(img)
+        return " ".join(
+            t for row in table["cells"] for t in row if t
+        )
     return media_span_text(img, use_cls=use_cls)
 
 

@@ -121,6 +121,18 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             img = _safe_decode(png)
             if img is None:
                 continue
+            from ..kernels.table import detect_grid
+
+            h_lines, v_lines = detect_grid(img)
+            if len(h_lines) >= 2 and len(v_lines) >= 2:
+                # ruled table: structured path, verbatim text row (same
+                # routing as media_payload_text, keeps modes identical)
+                text = media_payload_text(png)
+                emit(
+                    doc_id, offset, media_ref, -2,
+                    text.encode("utf-8"), len(text), 0,
+                )
+                continue
             for idx, poly in enumerate(detect_boxes(img)):
                 crop = crop_box(img, poly)  # uint8
                 emit(

@@ -57,3 +57,32 @@ def test_table_cells_spark_stage(spark):
         for r, row_cells in enumerate(cells):
             for c, text in enumerate(row_cells):
                 assert got[f"t{i}"][(r, c)] == text
+
+
+def test_table_media_through_extraction_pipeline(spark):
+    """A ruled-table media span flows through the full extraction in both
+    modes and the oracle, yielding row-major cell text."""
+    import pandas as pd
+
+    from mindocr_spark.oracle.pipeline import extract_documents_oracle
+    from mindocr_spark.plans.extract import extract
+
+    page, _ = render_table([["qty", "price"], ["x4", "total9"]])
+    spans_pdf = pd.DataFrame(
+        [{"doc_id": "t", "spans": [
+            {"kind": "media", "text": None, "media_ref": "tbl1", "offset": 0}
+        ]}]
+    )
+    media_pdf = pd.DataFrame([{"media_ref": "tbl1", "image": encode_png(page)}])
+    want = extract_documents_oracle(spans_pdf, media_pdf).iloc[0]["out_spans"][0]["text"]
+    assert want == "qty price x4 total9"
+
+    spans_df = spark.createDataFrame(
+        [("t", [("media", None, "tbl1", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    media_df = spark.createDataFrame(media_pdf)
+    for mode in ["fused", "exploded"]:
+        row = extract(spark, spans_df, media_df, mode=mode).collect()[0]
+        assert row["out_spans"][0]["text"] == want, mode

@@ -61,6 +61,31 @@ def _ocr_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-health metrics over the derived media table: payload type by
+    magic bytes, decodability, byte sizes — the pipeline-metrics analogue of
+    the reference's skip-and-count decode node (decode_node.py:30-42)."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.operators.multimodal import image_meta
+
+    _, media = derive_corpus(spark, sf_dir)
+    meta = image_meta(media).join(
+        media.select("media_ref", F.col("image").alias("payload")), "media_ref"
+    )
+    typed = meta.withColumn(
+        "payload_type",
+        F.when(
+            F.expr("substring(payload, 1, 4)") == F.lit(b"%PDF"), "pdf"
+        ).otherwise(F.when(F.col("ok"), "image").otherwise("unreadable")),
+    )
+    return typed.groupBy("payload_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("n_bytes"), 1).alias("avg_bytes"),
+    )
+
+
 def _ocr_eval_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ICDAR-style eval driven end-to-end on generated goldens: render a
     40-doc synthetic corpus (deterministic, sf-independent), OCR the media,
@@ -135,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_golden_records": _ocr_golden_records,
         "image_meta_derived": _image_meta_derived,
         "ocr_eval_selftest": _ocr_eval_selftest,
+        "media_health": _media_health,
         # relational skeleton (SURVEY.md §2.2-2.6)
         "pricing_summary": relational.pricing_summary,
         "order_revenue_topn": relational.order_revenue_topn,

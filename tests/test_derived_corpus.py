@@ -65,4 +65,5 @@ def test_queries_oracle_keys_consistent():
         "ocr_golden_records",
         "image_meta_derived",
         "ocr_eval_selftest",
+        "media_health",
     }

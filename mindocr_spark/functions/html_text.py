@@ -14,6 +14,7 @@ import html as _html
 import re
 
 _RE_SCRIPT = re.compile(r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_RE_HEAD = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.S | re.I)
 _RE_COMMENT = re.compile(r"<!--.*?-->", re.S)
 _RE_BOILER_CONTAINER = re.compile(
     r"<(nav|footer|header|aside|form)\b[^>]*>.*?</\1\s*>", re.S | re.I
@@ -43,6 +44,7 @@ def extract_main_text(raw: str) -> str:
     if "<" not in raw:
         return _norm(raw)
     s = _RE_COMMENT.sub(" ", raw)
+    s = _RE_HEAD.sub(" ", s)  # <title>/meta live in <head>, never content
     s = _RE_SCRIPT.sub(" ", s)
     s = _RE_BOILER_CONTAINER.sub(" ", s)
     blocks = _RE_BLOCK_SPLIT.split(s)

@@ -305,3 +305,9 @@ class TestCharDict:
         assert valid_rec_label("hello", 10)
         assert not valid_rec_label("aa", 2)  # effective len 3 > 2
         assert not valid_rec_label("!!!", 10)  # nothing in-dict
+
+
+def test_html_head_title_stripped():
+    raw = ("<html><head><title>Site Name Here</title><meta x='y'></head>"
+           "<body><p>the real article body</p></body></html>")
+    assert extract_main_text(raw) == "the real article body"

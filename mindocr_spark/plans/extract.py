@@ -124,6 +124,12 @@ def extract(
 ) -> DataFrame:
     """Run the full interleaved extraction. Returns (doc_id, out_spans).
 
+    Precondition: ``media.media_ref`` is unique (it is the media table's
+    key). Duplicate keys would fan out the media join and duplicate output
+    spans — dedupe upstream (e.g. ``groupBy(media_ref).agg(max(image))``)
+    if the source cannot guarantee it; the plan does not pay that shuffle
+    by default.
+
     ``salt_buckets > 0`` enables explicit two-phase salting of the final
     per-document reassembly (SURVEY.md §4 item 1b): spans first aggregate on
     ``(doc_id, salt)`` where ``salt = pmod(hash(doc_id, offset), S)``, then

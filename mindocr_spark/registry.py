@@ -127,3 +127,13 @@ def _repartition_cpu(key: str = "media_ref", factor: int = 2):
         return df.repartition(n, key)
 
     return stage
+
+
+@register_stage("table_cells")
+def _table_cells():
+    from .operators.table_path import TABLE_CELLS_SCHEMA, table_cells_iter
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(table_cells_iter, TABLE_CELLS_SCHEMA)
+
+    return stage

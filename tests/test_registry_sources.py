@@ -78,3 +78,19 @@ def test_sort_words_reading_order():
 
     polys = [quad(100, 2), quad(0, 0), quad(0, 50), quad(100, 48)]
     assert sort_words_reading_order(polys) == [1, 0, 2, 3]
+
+
+def test_registry_table_stage(spark):
+    from mindocr_spark.functions.glyphs import render_table
+    from mindocr_spark.functions.png_codec import encode_png
+
+    page, _ = render_table([["aa", "bb"]])
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["t"], "image": [encode_png(page)]})
+    )
+    pipe = build_pipeline([{"name": "table_cells"}])
+    rows = {(r["row"], r["col"]): r["text"] for r in pipe(df).collect()}
+    assert rows == {(0, 0): "aa", (0, 1): "bb"}
+
+
+import pandas as pd  # noqa: E402

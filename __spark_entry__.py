@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_without_lineitems": relational.orders_without_lineitems,
         "returnflag_rollup": relational.returnflag_rollup,
         "hourly_event_stats": relational.hourly_event_stats,
+        "event_value_quartiles": relational.event_value_quartiles,
+        "type_medians": relational.type_medians,
         # dedup suite
         "exact_dup_groups": dedup.exact_dup_groups,
         "prefix_dup_groups": dedup.prefix_dup_groups,
@@ -216,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_lineitems": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
         "returnflag_rollup": relational.RETURNFLAG_ROLLUP_SQL,
         "hourly_event_stats": relational.HOURLY_EVENT_SQL,
+        "event_value_quartiles": relational.EVENT_QUARTILES_SQL,
+        "type_medians": relational.TYPE_MEDIANS_SQL,
         "exact_dup_groups": dedup.EXACT_DUP_SQL,
         "prefix_dup_groups": dedup.PREFIX_DUP_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,

@@ -443,3 +443,54 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: quartile assignment by value within each event type,
+    counted per bucket (deterministic tie-break on event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .withColumn("quartile", F.col("quartile").cast("int"))
+    )
+
+
+EVENT_QUARTILES_SQL = """
+WITH q AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value ASC, event_id ASC) AS quartile
+  FROM events
+)
+SELECT event_type, CAST(quartile AS INT) AS quartile, count(*) AS n,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM q GROUP BY event_type, quartile
+"""
+
+
+def type_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + distinct users per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+TYPE_MEDIANS_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""

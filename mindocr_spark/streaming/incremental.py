@@ -61,3 +61,47 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    Late events older than the watermark relative to the max seen ts are
+    dropped; windows close and emit once finalized (append mode) — the
+    Structured Streaming windowing the reference's pipeline engine has no
+    counterpart for (SURVEY.md §2.11 note).
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -64,3 +64,50 @@ def test_stream_matches_batch(spark, small_corpus, tmp_path):
     q2 = stream_extract(spark, str(spans_dir), media, out_dir, ckpt)
     q2.awaitTermination(120)
     assert _tuples(spark.read.parquet(out_dir)) == want
+
+
+def test_watermarked_window_drops_late_events(spark, tmp_path):
+    """Tumbling 1h windows with a 30min watermark: an event arriving after
+    the watermark passed its window is dropped; closed windows emit once."""
+    import time as _time
+
+    import pandas as pd
+
+    from mindocr_spark.streaming.incremental import stream_windowed_counts
+
+    ev_dir = tmp_path / "events"
+    ev_dir.mkdir()
+
+    def write(rows, name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        tbl = pa.table(
+            {
+                "ts": pa.array(pd.to_datetime(pdf["ts"]), pa.timestamp("us")),
+                "user_id": pa.array(pdf["user_id"], pa.int64()),
+                "value": pa.array(pdf["value"], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(ev_dir / name))
+        _time.sleep(1.1)  # distinct mtimes (fs granularity) -> deterministic batches
+
+    # batch 1: window 10:00 gets 2 events
+    write([("2024-01-01 10:05:00", 1, 1.0), ("2024-01-01 10:20:00", 2, 2.0)], "f1.parquet")
+    # batches 2-3: advance the watermark past 11:00 (wm lags one batch:
+    # it is computed at batch end and applied to the NEXT batch)
+    write([("2024-01-01 13:00:00", 3, 3.0)], "f2.parquet")
+    write([("2024-01-01 13:30:00", 5, 5.0)], "f3.parquet")
+    # batch 4: late event for window 10:00 — beyond watermark, dropped
+    write([("2024-01-01 10:40:00", 4, 100.0)], "f4.parquet")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_windowed_counts(spark, str(ev_dir), out, ckpt)
+    q.awaitTermination(240)
+
+    rows = {r["window_start"]: r for r in spark.read.parquet(out).collect()}
+    # the 10:00 window closed with ONLY the two on-time events
+    assert rows["2024-01-01 10:00:00"]["n"] == 2
+    assert rows["2024-01-01 10:00:00"]["sum_value"] == 3.0

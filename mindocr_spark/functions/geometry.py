@@ -124,9 +124,20 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
         [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
     )
     corners = rect @ rot  # inverse rotation (rot is orthonormal)
+    # Canonicalize while PRESERVING the cyclic order: the sum/diff corner
+    # heuristic (order_points_clockwise) can pick duplicate roles on
+    # near-45-degree rects and emit a crossed quad. Enforce clockwise
+    # orientation (y-down) and start at the lexicographically smallest
+    # (y, x) corner — equals the tl,tr,br,bl convention for axis-aligned.
+    x, y = corners[:, 0], corners[:, 1]
+    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    if signed < 0:
+        corners = corners[::-1]
+    start = int(np.lexsort((corners[:, 0], corners[:, 1]))[0])
+    corners = np.roll(corners, -start, axis=0)
     w = float(mx[0] - mn[0])
     h = float(mx[1] - mn[1])
-    return order_points_clockwise(corners), float(min(w, h)), float(max(w, h))
+    return corners, float(min(w, h)), float(max(w, h))
 
 
 def order_points_clockwise(pts: np.ndarray) -> np.ndarray:

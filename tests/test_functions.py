@@ -311,3 +311,17 @@ def test_html_head_title_stripped():
     raw = ("<html><head><title>Site Name Here</title><meta x='y'></head>"
            "<body><p>the real article body</p></body></html>")
     assert extract_main_text(raw) == "the real article body"
+
+
+def test_min_area_rect_45deg_regression():
+    """hypothesis-found regression: near-45-degree point sets used to get a
+    crossed corner order (area below the hull's)."""
+    pts = np.array([(0, 1), (0, 200), (1, 0), (100, 100)], dtype=float)
+    rect, short, long_ = min_area_rect(pts)
+    from mindocr_spark.functions.geometry import poly_area_perimeter
+
+    area_r, _ = poly_area_perimeter(rect)
+    hull = convex_hull(pts)
+    area_h, _ = poly_area_perimeter(hull)
+    assert area_r >= area_h - 1e-6
+    assert short * long_ == pytest.approx(area_r, rel=1e-9)

@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "event_value_quartiles": relational.event_value_quartiles,
         "type_medians": relational.type_medians,
+        "props_json_stats": relational.props_json_stats,
         # dedup suite
         "exact_dup_groups": dedup.exact_dup_groups,
         "prefix_dup_groups": dedup.prefix_dup_groups,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_stats": relational.HOURLY_EVENT_SQL,
         "event_value_quartiles": relational.EVENT_QUARTILES_SQL,
         "type_medians": relational.TYPE_MEDIANS_SQL,
+        "props_json_stats": relational.PROPS_JSON_SQL,
         "exact_dup_groups": dedup.EXACT_DUP_SQL,
         "prefix_dup_groups": dedup.PREFIX_DUP_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,

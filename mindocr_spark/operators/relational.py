@@ -494,3 +494,29 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured field extraction: parse the events.props JSON column
+    (the from_json/get_json_object operator class) and aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("cast(get_json_object(props, '$.k') as int)")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::INT)::INT AS min_k,
+       max(json_extract(props, '$.k')::INT)::INT AS max_k
+FROM events GROUP BY event_type
+"""

@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_near_pairs": dedup.simhash_near_pairs,
+        "ngram_jaccard_filtered": dedup.ngram_jaccard_filtered,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": dedup.SIMHASH_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "simhash_near_pairs": dedup.SIMHASH_NEAR_PAIRS_SQL,
+        "ngram_jaccard_filtered": dedup.NGRAM_JACCARD_FILTERED_SQL,
         "cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,

@@ -280,3 +280,59 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
+
+
+MAX_SHINGLE_FREQ = 25
+
+
+def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with hot-shingle removal — the production scale
+    path: shingles occurring in more than MAX_SHINGLE_FREQ docs are dropped
+    BEFORE the self-join (they are stop-gram noise and the join-skew risk),
+    then pair Jaccard is computed over each doc's surviving shingle set."""
+    sh = _shingles(_docs(spark, sf_dir))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(
+        freq.filter(F.col("df") <= MAX_SHINGLE_FREQ).select("shingle"), "shingle"
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+NGRAM_JACCARD_FILTERED_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_FREQ}),
+kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       round(i.inter / (na.n + nb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+"""

@@ -92,3 +92,16 @@ def test_lineage_metrics_counters(spark, corpus, tmp_path):
     assert row["status"] == "complete"
     assert row["run_id"] == "r1"
     assert row["wall_sec"] > 0
+
+
+def test_lineage_exploded_salted(spark, corpus, tmp_path):
+    """Resume machinery composes with exploded mode + salting."""
+    spans, media = corpus
+    out = str(tmp_path / "out")
+    stats = run_extract_job(
+        spark, spans, media, out, mode="exploded", n_buckets=N_BUCKETS,
+        run_id="r1", salt_buckets=3,
+    )
+    assert stats["buckets_processed"] == len(completed_buckets(spark, out))
+    direct = extract(spark, spans, media, mode="fused")
+    assert _sorted_tuples(read_output(spark, out)) == _sorted_tuples(direct)

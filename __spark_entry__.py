@@ -26,18 +26,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindocr_spark.data.derive_corpus import derive_corpus
-    from mindocr_spark.plans.extract import extract
+    from mindocr_spark.plans.extract import extract_serialized
 
     spans, media = derive_corpus(spark, sf_dir)
-    return extract(spark, spans, media, mode="fused")
+    return extract_serialized(spark, spans, media, mode="fused")
 
 
 def _extract_interleaved_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindocr_spark.data.derive_corpus import derive_corpus
-    from mindocr_spark.plans.extract import extract
+    from mindocr_spark.plans.extract import extract_serialized
 
     spans, media = derive_corpus(spark, sf_dir)
-    return extract(spark, spans, media, mode="exploded")
+    return extract_serialized(spark, spans, media, mode="exploded")
 
 
 def _image_meta_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from mindocr_spark.operators import dedup, quality, relational, similarity
 
+    from mindocr_spark.plans.extract import EXTRACT_ORACLE_SQL
+
     return {
+        # flagship: full end-to-end oracle — the SQL reconstructs the exact
+        # expected output (text strip + OCR text + serialization) from the
+        # documents table; see plans/extract.py:EXTRACT_ORACLE_SQL
+        "extract_interleaved": EXTRACT_ORACLE_SQL,
+        "extract_interleaved_exploded": EXTRACT_ORACLE_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "order_revenue_topn": relational.ORDER_REVENUE_SQL,
         "collect_lines_by_order": relational.COLLECT_LINES_SQL,

@@ -17,7 +17,8 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n)", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
 # (string) Tj   |   [(a) -120 (b)] TJ
 _TJ_RE = re.compile(rb"\((?:\\.|[^\\()])*\)\s*Tj|\[(?:[^\]])*\]\s*TJ")
@@ -60,7 +61,26 @@ def extract_pdf_text(data: bytes) -> str:
         raise ValueError("not a PDF")
     pieces: list[str] = []
     for m in _STREAM_RE.finditer(data):
-        meta, body = m.group(1), m.group(2)
+        # the regex's dict group can span back across earlier objects (non-
+        # greedy from the first '<<'); the stream's own dict is the last one
+        meta = m.group(1).rsplit(b"<<", 1)[-1]
+        start = m.end()
+        lm = _LENGTH_RE.search(meta)
+        if lm:
+            # per-spec: /Length is the exact byte count — never infer the
+            # stream end from an EOL scan (deflate bytes can end in 0x0d,
+            # which an `\r?\nendstream` delimiter regex would swallow)
+            body = data[start : start + int(lm.group(1))]
+        else:
+            end = data.find(b"endstream", start)
+            if end == -1:
+                continue
+            body = data[start:end]
+            # strip exactly one EOL belonging to the endstream delimiter
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n") or body.endswith(b"\r"):
+                body = body[:-1]
         if b"FlateDecode" in meta:
             try:
                 body = zlib.decompress(body)

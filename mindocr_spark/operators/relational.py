@@ -274,15 +274,17 @@ def det_metric_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fp").cast("long").alias("fp"),
         F.sum("fn").cast("long").alias("fn"),
     )
+    # metrics as integer basis points: float round(x, 4) on a ratio can land
+    # on a representation that differs between engines past 6 significant
+    # digits (the CLAUDE.md decimal-boundary landmine; driver gate r01 caught
+    # it) — pure integer division is bit-identical everywhere.
     return agg.select(
         "tp",
         "fp",
         "fn",
-        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4).alias("precision"),
-        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4).alias("recall"),
-        F.round(
-            2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 4
-        ).alias("f_score"),
+        F.expr("(10000 * tp) div (tp + fp)").alias("precision_bp"),
+        F.expr("(10000 * tp) div (tp + fn)").alias("recall_bp"),
+        F.expr("(20000 * tp) div (2 * tp + fp + fn)").alias("f_score_bp"),
     )
 
 
@@ -293,11 +295,11 @@ WITH lab AS (
          CASE WHEN value < 0.5 AND event_type = 'click' THEN 1 ELSE 0 END AS fn
   FROM events
 ),
-agg AS (SELECT sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn FROM lab)
+agg AS (SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM lab)
 SELECT tp, fp, fn,
-       round(tp::DOUBLE / (tp + fp), 4) AS precision,
-       round(tp::DOUBLE / (tp + fn), 4) AS recall,
-       round(2.0 * tp / (2 * tp + fp + fn), 4) AS f_score
+       ((10000 * tp) // (tp + fp))::BIGINT AS precision_bp,
+       ((10000 * tp) // (tp + fn))::BIGINT AS recall_bp,
+       ((20000 * tp) // (2 * tp + fp + fn))::BIGINT AS f_score_bp
 FROM agg
 """
 

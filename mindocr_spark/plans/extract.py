@@ -43,6 +43,45 @@ OUT_SPAN_TYPE = (
     "array<struct<kind:string,text:string,media_ref:string,order:int>>"
 )
 
+# Full end-to-end DuckDB oracle for the flagship over the derived corpus
+# (driver gate). Valid because every stage is exact on this corpus:
+#   - text span: extract_main_text(wrapper.format(text)) == text for all
+#     three boilerplate wrappers (anchors/nav/footer/script stripped, body
+#     text already single-space-normalized by the generator),
+#   - media span: OCR of the rendered page returns exactly the first <=3
+#     charset-safe tokens (generator geometry honors kernels/det.py
+#     invariants; rec is exact on the glyph font — ocr_eval_selftest = 1.0),
+#   - serialization: Spark to_json omits null fields, so a text span is
+#     {"kind","text","order"} and a media span adds "media_ref"; document
+#     text is lowercase [a-z ]+ so no JSON escaping is needed.
+# Any kernel regression (det miss, rec error, drop-score misfire, ordering
+# bug) breaks the hash — this is a real end-to-end check, not a tautology.
+EXTRACT_ORACLE_SQL = """
+SELECT printf('doc_%08d', doc_id) AS doc_id,
+  '[{"kind":"text","text":"' || text || '","order":0},{"kind":"media","text":"'
+  || coalesce(nullif(array_to_string(
+       (list_filter(string_split(text,' '),
+                    w -> len(w) BETWEEN 2 AND 7 AND regexp_matches(w,'^[0-9a-z]+$'))
+       )[1:3], ' '), ''), 'empty')
+  || '","media_ref":"' || (CASE WHEN doc_id % 4 = 0 THEN 'pdf_' ELSE 'img_' END)
+  || printf('%08d', doc_id) || '_01","order":1}]' AS out_spans_json
+FROM documents
+"""
+
+
+def extract_serialized(
+    spark: SparkSession,
+    spans: DataFrame,
+    media: DataFrame,
+    mode: str = "fused",
+) -> DataFrame:
+    """Driver-facing flagship: ``out_spans`` serialized with ``to_json`` so
+    the result is sortable/hashable by a pandas canonicalizer (the typed
+    nested schema from :func:`extract` stays the API for programmatic use)."""
+    return extract(spark, spans, media, mode=mode).select(
+        "doc_id", F.to_json("out_spans").alias("out_spans_json")
+    )
+
 
 def load_corpus(spark: SparkSession, corpus_dir: str) -> tuple[DataFrame, DataFrame]:
     spans = spark.read.parquet(f"{corpus_dir}/documents_spans.parquet")

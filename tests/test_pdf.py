@@ -66,3 +66,22 @@ def test_corpus_contains_pdfs_and_matches_expected():
                 assert s["text"] == expected[s["media_ref"]]
                 n += 1
     assert n == len(pdf_rows)
+
+
+def test_flate_stream_ending_in_carriage_return():
+    """Regression (round-2 gate catch): zlib.compress('... (fast merge row) ...')
+    ends in byte 0x0d; an `\\r?\\nendstream` delimiter regex swallows it and
+    truncates the deflate stream. The extractor must honor /Length instead."""
+    import zlib
+
+    text = "fast merge row"
+    pdf = make_simple_pdf([text])
+    content = b"BT /F1 12 Tf 50 750 Td (fast merge row) Tj 0 -16 Td ET"
+    assert zlib.compress(content).endswith(b"\r")  # the trap is real
+    assert extract_pdf_text(pdf) == text
+
+
+def test_stream_without_length_falls_back_to_delimiter_scan():
+    pdf = make_simple_pdf(["no length key"], compress=False)
+    pdf = pdf.replace(b"/Length", b"/XLenX")  # same byte count, key unknown
+    assert extract_pdf_text(pdf) == "no length key"

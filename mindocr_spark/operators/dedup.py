@@ -186,12 +186,12 @@ FROM bits GROUP BY doc_id
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs word-3-gram Jaccard similarity >= threshold.
-
-    shingle-explode -> self equi-join on shingle -> pair-count / sizes.
-    At scale: the join keys are shingles (high cardinality) — hot shingles
-    (stopword-grams) are the skew risk; production would drop top-frequency
-    shingles first. Threshold keeps output bounded.
+    """TEST ORACLE ONLY (not registered as a production query since round 2):
+    all-pairs word-3-gram Jaccard via a raw shingle self-join — hot
+    stop-grams make the join key distribution unboundedly skewed at scale.
+    The production operator is :func:`ngram_jaccard_filtered` (identical
+    semantics over the surviving shingle sets, hot shingles dropped before
+    the join); this raw form remains as its small-scale comparison point.
     """
     sh = _shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
@@ -241,12 +241,11 @@ SIMHASH_HAMMING_MAX = 20
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs by SimHash hamming distance <= 20 of the
-    60-bit signatures (bit_count(xor) — native in Spark and the oracle).
-
-    At scale: band the signature into 4x15-bit keys and bucket-join
-    (pigeonhole: hamming<=3 implies a shared band) before the exact
-    hamming check; the exact quadratic form here doubles as the oracle."""
+    """TEST ORACLE ONLY (not registered as a production query since round 2):
+    exact all-pairs SimHash hamming <= 20 via crossJoin — O(N^2), cannot
+    survive scale. The production operator is
+    :func:`simhash_near_dup_banded`; this quadratic form remains as the
+    ground truth the banded operator is verified against in tests/."""
     sig = simhash_signatures(spark, sf_dir)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
@@ -279,6 +278,92 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+SIMHASH_BANDED_HAMMING_MAX = 3
+N_SIMHASH_BANDS = 4  # 4 bands x 15 bits; pigeonhole: hamming<=3 => shared band
+
+
+def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash near-dup: banded bucket-join candidate generation,
+    then the exact hamming check.
+
+    The 60-bit signature splits into 4 disjoint 15-bit bands. Two signatures
+    at hamming distance <= 3 differ in at most 3 bands (pigeonhole), so they
+    MUST agree on at least one band — the band-equality equi-join generates
+    every qualifying pair with zero false negatives, and the exact
+    ``bit_count(xor)`` filter removes false positives. Result is therefore
+    IDENTICAL to the quadratic all-pairs form at threshold 3 (the oracle SQL
+    is exactly that form), but the plan is a shuffle-on-band-key equi-join:
+    no crossJoin, candidate volume ~ sum of per-bucket squares (bounded by
+    near-dup cluster sizes, not corpus size).
+
+    At 100 TB: band keys are 4 rows/doc, high-cardinality (2^15 values x 4
+    band ids, widen bands to taste); a pathological bucket (mass-duplicated
+    content) is exactly a giant duplicate cluster — AQE skew-join splits it,
+    and the downstream distinct caps output. Reference semantics:
+    near-duplicate detection per Charikar SimHash, the operator the
+    reference's corpus tooling lacks but a training-data pipeline needs.
+    """
+    sig = simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.expr(f"(simhash >> {15 * b}) & 32767").alias("band_key"),
+                    )
+                    for b in range(N_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_no", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# oracle = the exact quadratic form at the same threshold: the banded plan is
+# provably equivalent (pigeonhole), so DuckDB may do the O(N^2) the engine
+# must not.
+SIMHASH_NEAR_DUP_BANDED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text,' '))),1,15))::BIGINT AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+  FROM toks, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum((CASE WHEN s >= 0 THEN 1::BIGINT ELSE 0 END) << b)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDED_HAMMING_MAX}
 """
 
 

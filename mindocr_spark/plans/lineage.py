@@ -83,13 +83,15 @@ def run_extract_job(
     result.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
     wall = time.time() - t0
 
-    # per-bucket metrics from the committed output (exactly what landed)
-    out = spark.read.parquet(out_dir).withColumn(
-        "bucket2", _bucket_col(n_buckets)
-    )
-    fresh = out.filter(~F.col("bucket2").isin(sorted(done)) if done else F.lit(True))
+    # per-bucket metrics from the committed output (exactly what landed).
+    # Filter on the PHYSICAL partition column `bucket`: Catalyst prunes the
+    # completed buckets' directories at the file-index level, so a resume
+    # reads only the freshly-written partitions (a recomputed-hash filter
+    # would force a full-output scan — at 100 TB that is the whole dataset).
+    out = spark.read.parquet(out_dir)
+    fresh = out.filter(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
     stats = (
-        fresh.groupBy(F.col("bucket2").alias("bucket"))
+        fresh.groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(F.size("out_spans")).cast("long").alias("n_out_spans"),
@@ -107,8 +109,14 @@ def run_extract_job(
             "wall_sec", "run_id",
         )
     )
-    stats.write.mode("append").parquet(f"{out_dir}/_lineage")
-    n_processed = stats.count()
+    # one job, not two: stats is <= n_buckets rows — collect it once, append
+    # via a local DataFrame (recomputing the aggregation for the count would
+    # re-run the whole stats scan)
+    stat_rows = stats.collect()
+    spark.createDataFrame(stat_rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+        f"{out_dir}/_lineage"
+    )
+    n_processed = len(stat_rows)
     return {
         "buckets_total": n_buckets,
         "buckets_skipped": len(done),

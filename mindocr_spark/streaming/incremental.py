@@ -35,11 +35,15 @@ def stream_extract(
     mode: str = "fused",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """File-stream the spans table; extract per micro-batch; parquet-append.
+    """File-stream the spans table; extract per micro-batch; parquet sink
+    partitioned by ``batch_id``.
 
-    Exactly-once: the stream checkpoint tracks consumed input files; the
-    sink is append-only keyed by doc_id (re-runs after checkpoint restore do
-    not duplicate completed micro-batches).
+    Exactly-once = checkpointed offsets + an idempotent sink. foreachBatch
+    alone is at-least-once (a crash between the sink write and the offset
+    commit replays the micro-batch), so the sink must absorb replays: each
+    micro-batch dynamically OVERWRITES its own ``batch_id=N`` partition —
+    Structured Streaming guarantees a replayed batch has the same batch_id
+    and the same input rows, so the rewrite is a no-op, never a duplicate.
     """
     stream = (
         spark.readStream.schema(SPANS_DDL)
@@ -50,8 +54,14 @@ def stream_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = extract(batch_df.sparkSession, batch_df, media, mode=mode)
-        out.write.mode("append").parquet(out_dir)
+        from pyspark.sql import functions as F
+
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = extract(sess, batch_df, media, mode=mode).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        out.write.partitionBy("batch_id").mode("overwrite").parquet(out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -111,3 +111,24 @@ def test_watermarked_window_drops_late_events(spark, tmp_path):
     # the 10:00 window closed with ONLY the two on-time events
     assert rows["2024-01-01 10:00:00"]["n"] == 2
     assert rows["2024-01-01 10:00:00"]["sum_value"] == 3.0
+
+
+def test_stream_replay_is_idempotent(spark, small_corpus, tmp_path):
+    """Exactly-once = offsets + idempotent sink: reprocessing the same input
+    (checkpoint lost, batches replayed with the same batch ids) dynamically
+    overwrites each batch_id=N partition instead of appending duplicates."""
+    corpus_dir, spans_pdf, _ = small_corpus
+    _, media = load_corpus(spark, corpus_dir)
+    spans_dir = tmp_path / "spans_stream"
+    spans_dir.mkdir()
+    _write_spans_slice(spans_pdf, str(spans_dir / "part0.parquet"))
+    out_dir = str(tmp_path / "out")
+
+    q = stream_extract(spark, str(spans_dir), media, out_dir, str(tmp_path / "c1"))
+    q.awaitTermination(240)
+    want = _tuples(spark.read.parquet(out_dir))
+
+    # fresh checkpoint, same sink: the whole input replays as batch 0 again
+    q2 = stream_extract(spark, str(spans_dir), media, out_dir, str(tmp_path / "c2"))
+    q2.awaitTermination(240)
+    assert _tuples(spark.read.parquet(out_dir)) == want

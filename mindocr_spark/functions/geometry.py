@@ -261,3 +261,78 @@ def poly_iou(p1: np.ndarray, p2: np.ndarray) -> float:
     a2, _ = poly_area_perimeter(np.asarray(p2, dtype=np.float64))
     union = a1 + a2 - inter
     return inter / union if union > 1e-12 else 0.0
+
+
+def arc_length(points: np.ndarray, closed: bool = True) -> float:
+    """Polyline/polygon perimeter (``cv2.arcLength`` analogue,
+    used at ``mindocr/postprocess/det_db_postprocess.py:104``)."""
+    p = np.asarray(points, dtype=np.float64)
+    if len(p) < 2:
+        return 0.0
+    seg = np.linalg.norm(np.diff(p, axis=0), axis=1).sum()
+    if closed:
+        seg += float(np.linalg.norm(p[-1] - p[0]))
+    return float(seg)
+
+
+def _dp_open(points: np.ndarray, eps: float) -> list[int]:
+    """Douglas-Peucker on an open chain; returns kept indices (ends incl.)."""
+    keep = [0, len(points) - 1]
+    stack = [(0, len(points) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = points[i], points[j]
+        ab = b - a
+        ln = np.linalg.norm(ab)
+        seg = points[i + 1 : j]
+        if ln < 1e-12:
+            d = np.linalg.norm(seg - a, axis=1)
+        else:
+            d = np.abs((seg[:, 0] - a[0]) * ab[1] - (seg[:, 1] - a[1]) * ab[0]) / ln
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            m = i + 1 + k
+            keep.append(m)
+            stack.append((i, m))
+            stack.append((m, j))
+    return sorted(set(keep))
+
+
+def approx_poly_dp(points: np.ndarray, epsilon: float, closed: bool = True) -> np.ndarray:
+    """Ramer-Douglas-Peucker polygon simplification
+    (``cv2.approxPolyDP`` analogue for the det ``box_type='poly'`` path,
+    ``det_db_postprocess.py:105``). For a closed contour the chain is split
+    at its two mutually-farthest anchor points (deterministic: the first of
+    each tied pair), each half simplified, halves rejoined."""
+    p = np.asarray(points, dtype=np.float64)
+    n = len(p)
+    if n <= 2:
+        return p.copy()
+    if not closed:
+        return p[_dp_open(p, epsilon)]
+    # anchor 1: farthest from point 0; anchor 2: farthest from anchor 1
+    d0 = np.linalg.norm(p - p[0], axis=1)
+    a1 = int(np.argmax(d0))
+    d1 = np.linalg.norm(p - p[a1], axis=1)
+    a2 = int(np.argmax(d1))
+    lo, hi = min(a1, a2), max(a1, a2)
+    chain1 = p[lo : hi + 1]
+    chain2 = np.concatenate([p[hi:], p[: lo + 1]], axis=0)
+    k1 = [lo + i for i in _dp_open(chain1, epsilon)]
+    k2 = [(hi + i) % n for i in _dp_open(chain2, epsilon)]
+    idx = sorted(set(k1) | set(k2))
+    return p[idx]
+
+
+def is_convex(poly: np.ndarray) -> bool:
+    """True iff the polygon is convex (all cross products one sign; zeros —
+    collinear runs — allowed)."""
+    p = np.asarray(poly, dtype=np.float64)
+    n = len(p)
+    if n < 4:
+        return True
+    e = np.roll(p, -1, axis=0) - p
+    cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    return bool((cross >= -1e-9).all() or (cross <= 1e-9).all())

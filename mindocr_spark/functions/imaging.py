@@ -204,3 +204,112 @@ def rotate180(img: np.ndarray) -> np.ndarray:
     """180-degree rotation (the cls stage's corrective action,
     ``predict_system.py:300-304`` / ``img_rotate`` utils.py:240-257)."""
     return img[::-1, ::-1].copy()
+
+
+def trace_boundary(comp_pts: np.ndarray) -> np.ndarray:
+    """Ordered outer boundary of an 8-connected component — the
+    ``cv2.findContours`` contour analogue the poly-output det path needs
+    (``det_db_postprocess.py:90,104``). Input: (n,2) (y,x) pixel coords.
+    Output: (m,2) float64 (x,y) boundary pixels, clockwise in image coords,
+    starting at the topmost-leftmost pixel (Moore-neighbor tracing with
+    Jacob's stopping criterion)."""
+    pts = np.asarray(comp_pts)
+    oy = int(pts[:, 0].min()) - 1
+    ox = int(pts[:, 1].min()) - 1
+    h = int(pts[:, 0].max()) - oy + 2
+    w = int(pts[:, 1].max()) - ox + 2
+    mask = np.zeros((h, w), dtype=bool)
+    mask[pts[:, 0] - oy, pts[:, 1] - ox] = True
+    sy = int(pts[:, 0].min()) - oy
+    sx = int(pts[pts[:, 0] == pts[:, 0].min(), 1].min()) - ox
+    # clockwise in image coords (y down): N, NE, E, SE, S, SW, W, NW
+    nb = ((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+    boundary = [(sy, sx)]
+    cur = (sy, sx)
+    back = 6  # virtual backtrack: the (empty) W neighbor of the start pixel
+    first_move: tuple[tuple[int, int], int] | None = None
+    while True:
+        found = -1
+        for k in range(1, 9):
+            d = (back + k) % 8
+            ny, nx = cur[0] + nb[d][0], cur[1] + nb[d][1]
+            if mask[ny, nx]:
+                found = d
+                break
+        if found < 0:  # isolated pixel
+            break
+        nxt = (cur[0] + nb[found][0], cur[1] + nb[found][1])
+        move = (cur, found)
+        if first_move is None:
+            first_move = move
+        elif move == first_move:  # Jacob's criterion: same pixel, same exit
+            break
+        cur = nxt
+        # new backtrack: direction from nxt to the previous pixel
+        back = (found + 4) % 8
+        if cur == (sy, sx) and len(boundary) > 1 and boundary[-1] != cur:
+            pass  # closure handled by first_move repetition
+        boundary.append(cur)
+        if len(boundary) > 4 * mask.sum() + 8:  # safety: cannot exceed this
+            break
+    if len(boundary) > 1 and boundary[-1] == boundary[0]:
+        boundary = boundary[:-1]
+    arr = np.array(boundary, dtype=np.float64)
+    # (y,x) grid coords -> (x,y) image coords in the original frame
+    return np.stack([arr[:, 1] + ox, arr[:, 0] + oy], axis=1)
+
+
+def add_padding(
+    img: np.ndarray, padding_size: int | tuple[int, int, int, int],
+    padding_color: float = 0.0,
+) -> np.ndarray:
+    """Constant-color border pad (``cv2.copyMakeBorder`` BORDER_CONSTANT —
+    ``tools/infer/text/utils/utils.py:188-198``, applied to layout regions
+    before recognition at ``predict_table_e2e.py:183``)."""
+    if isinstance(padding_size, int):
+        t = b = left = r = padding_size
+    else:
+        t, b, left, r = padding_size
+    pad = ((t, b), (left, r)) + ((0, 0),) * (img.ndim - 2)
+    return np.pad(img, pad, mode="constant", constant_values=padding_color)
+
+
+def img_rotate(img: np.ndarray, angle: float) -> np.ndarray:
+    """Arbitrary-angle rotation about the image center, same output dims,
+    bilinear sampling, zero border (``img_rotate``,
+    ``tools/infer/text/utils/utils.py:240-257`` =
+    cv2.getRotationMatrix2D + warpAffine defaults). Positive angle rotates
+    content counterclockwise (cv2 convention). 180 degrees reproduces
+    :func:`rotate180` exactly on any grid."""
+    h, w = img.shape[:2]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    a = np.deg2rad(angle)
+    cos_a, sin_a = float(np.cos(a)), float(np.sin(a))
+    xs, ys = np.meshgrid(
+        np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64)
+    )
+    xr, yr = xs - cx, ys - cy
+    # inverse map (dst -> src): rotate by -angle in y-down image coords
+    sx = cos_a * xr - sin_a * yr + cx
+    sy = sin_a * xr + cos_a * yr + cy
+    inside = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    sxc = np.clip(sx, 0, w - 1)
+    syc = np.clip(sy, 0, h - 1)
+    x0 = np.floor(sxc).astype(np.int64)
+    y0 = np.floor(syc).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sxc - x0).astype(np.float32)
+    fy = (syc - y0).astype(np.float32)
+    src = img.astype(np.float32)
+    if src.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+        inside = inside[..., None]
+    out = (
+        src[y0, x0] * (1 - fx) * (1 - fy)
+        + src[y0, x1] * fx * (1 - fy)
+        + src[y1, x0] * (1 - fx) * fy
+        + src[y1, x1] * fx * fy
+    )
+    return np.where(inside, out, 0.0).astype(np.float32)

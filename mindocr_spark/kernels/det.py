@@ -208,3 +208,54 @@ def validate_det_res(
             continue
         out.append(q.astype(np.int64))
     return out
+
+
+def db_postprocess_poly(
+    prob: np.ndarray, shape_list: tuple[int, int, float, float]
+) -> tuple[list[np.ndarray], list[float]]:
+    """DBPostprocess with ``box_type='poly'``
+    (``mindocr/postprocess/det_db_postprocess.py:103-107,119-120,126-128``):
+    instead of fitting a min-area quad, the component's traced outer contour
+    is simplified with approxPolyDP (epsilon = 0.005 * closed arc length),
+    unclipped by area*ratio/perimeter, and emitted as a ragged polygon —
+    the representation curved/irregular text needs.
+
+    Reference parity notes: polys with < 4 points after simplification are
+    dropped (line 106-107); the reference skips a candidate when pyclipper's
+    offset splits it into multiple polygons (``len(poly) > 1``, line
+    119-120) — this kernel's miter offset is defined for convex input, so it
+    applies the same skip to non-convex simplifications (a strict superset
+    of the reference's skip on the corpus this engine generates, where all
+    text regions are convex); after expansion the min-area-rect short side
+    must clear ``min_size + 2`` (line 126-128).
+    """
+    from ..functions.geometry import approx_poly_dp, arc_length, is_convex
+    from ..functions.imaging import trace_boundary
+
+    src_h, src_w, scale_h, scale_w = shape_list
+    bitmap = prob >= BINARY_THRESH
+    comps = connected_components(bitmap)[:MAX_CANDIDATES]
+    polys: list[np.ndarray] = []
+    scores: list[float] = []
+    for pts in comps:
+        score = float(prob[pts[:, 0], pts[:, 1]].mean())
+        if score < BOX_THRESH:
+            continue
+        contour = trace_boundary(pts)  # ordered (x, y)
+        eps = 0.005 * arc_length(contour, closed=True)
+        points = approx_poly_dp(contour, eps, closed=True)
+        if len(points) < 4:
+            continue
+        area, per = poly_area_perimeter(points)
+        if per <= 1e-9:
+            continue
+        if not is_convex(points):
+            continue  # see docstring: the reference's multi-poly-split skip
+        expanded = offset_convex_poly(points, area * EXPAND_RATIO / per)
+        _rect, short2, _ = min_area_rect(expanded)
+        if short2 < MIN_SIDE_AFTER_UNCLIP:
+            continue
+        poly = rescale_polys(expanded, scale_h, scale_w, src_h, src_w)
+        polys.append(poly.astype(np.int64))
+        scores.append(score)
+    return polys, scores

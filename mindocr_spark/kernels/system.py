@@ -56,17 +56,31 @@ def recognize_crop(crop: np.ndarray) -> tuple[str, float]:
     return ctc_greedy_decode(rec_logits(resized))
 
 
-def classify_and_recognize(crop: np.ndarray, use_cls: bool = True) -> tuple[str, float]:
+def classify_and_recognize(
+    crop: np.ndarray, use_cls: bool = True, decoder: str = "ctc"
+) -> tuple[str, float]:
     """Fused cls+rec: one resize, one glyph analysis per orientation —
-    the cls evidence and the chosen orientation's CTC logits share the
-    analysis instead of recomputing it (3 passes -> 2)."""
+    the cls evidence and the chosen orientation's logits share the
+    analysis instead of recomputing it (3 passes -> 2).
+
+    ``decoder`` selects the head contract: ``'ctc'`` (RecCTCLabelDecode,
+    blank-sandwiched steps) or ``'attn'`` (RecAttnLabelDecode, GO/STOP
+    framing, ``rec_postprocess.py:255-366``) — the two decode families of
+    the reference's rec model zoo over the same crop analysis."""
     from .cls import cls_probs_from_analyses
     from .rec import analyze_crop, logits_from_analysis
+
+    def _decode(analysis):
+        if decoder == "attn":
+            from ..functions.attn import attn_greedy_decode, attn_logits_from_analysis
+
+            return attn_greedy_decode(attn_logits_from_analysis(analysis))
+        return ctc_greedy_decode(logits_from_analysis(analysis))
 
     resized = rec_resize_norm(crop)
     up = analyze_crop(resized)
     if not use_cls:
-        return ctc_greedy_decode(logits_from_analysis(up))
+        return _decode(up)
     flipped = analyze_crop(rotate180(resized))
     probs = cls_probs_from_analyses(up, flipped)
     idx = int(probs.argmax())
@@ -74,7 +88,46 @@ def classify_and_recognize(crop: np.ndarray, use_cls: bool = True) -> tuple[str,
         chosen = flipped
     else:
         chosen = up
-    return ctc_greedy_decode(logits_from_analysis(chosen))
+    return _decode(chosen)
+
+
+def detect_polys(img: np.ndarray) -> tuple[list[np.ndarray], list[float]]:
+    """Poly-mode detection (``box_type='poly'``): ragged polygons in source
+    coords, validated (clip + area>=3) like the quad path, with scores.
+    Returned in component order (deterministic top-left)."""
+    from .det import db_postprocess_poly
+
+    resized, shape_list = det_resize(img)
+    prob = det_score(resized)
+    polys, scores = db_postprocess_poly(prob, shape_list)
+    kept_polys: list[np.ndarray] = []
+    kept_scores: list[float] = []
+    for p, s in zip(polys, scores):
+        v = validate_det_res([p], img.shape[0], img.shape[1])
+        if v:
+            kept_polys.append(v[0])
+            kept_scores.append(s)
+    return kept_polys, kept_scores
+
+
+def layout_region_text(img: np.ndarray, bbox: tuple[float, float, float, float]) -> str:
+    """The layout-region recognition route
+    (``tools/infer/text/predict_table_e2e.py:170-189``): crop the region
+    bbox, add 10px white padding (``add_padding``, better recognition on
+    tight region crops), OCR, join transcriptions in ``sort_words_by_poly``
+    order."""
+    from ..functions.imaging import add_padding
+    from ..functions.ordering import sort_words_reading_order
+
+    left, top, right, bottom = (int(v) for v in bbox)
+    crop = img[max(top, 0) : bottom, max(left, 0) : right]
+    if crop.size == 0:
+        return ""
+    crop = add_padding(crop, 10, 255.0).astype(np.uint8)
+    recs = ocr_image(crop)
+    polys = [np.array(r["points"], dtype=np.float64) for r in recs]
+    order = sort_words_reading_order(polys)
+    return " ".join(recs[i]["transcription"] for i in order)
 
 
 def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:

@@ -143,9 +143,10 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def recognize_iter(
-    batches: Iterator[pd.DataFrame], use_cls: bool = True
+    batches: Iterator[pd.DataFrame], use_cls: bool = True, decoder: str = "ctc"
 ) -> Iterator[pd.DataFrame]:
-    """Crop rows -> (…, text, conf): cls-rotate then CTC recognition."""
+    """Crop rows -> (…, text, conf): cls-rotate then recognition.
+    ``decoder`` picks the head contract ('ctc' | 'attn')."""
     for pdf in batches:
         texts: list[str] = []
         confs: list[float] = []
@@ -161,7 +162,9 @@ def recognize_iter(
                 confs.append(0.0)
                 continue
             crop = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
-            text, conf = classify_and_recognize(crop, use_cls=use_cls)
+            text, conf = classify_and_recognize(
+                crop, use_cls=use_cls, decoder=decoder
+            )
             texts.append(text)
             confs.append(conf)
         yield pd.DataFrame(
@@ -196,3 +199,32 @@ def ocr_records_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 OCR_RECORDS_SCHEMA = "media_ref string, transcription string, score double, points string"
+
+
+DET_POLYS_SCHEMA = (
+    "media_ref string, poly_idx int, points array<array<int>>, score double"
+)
+
+
+def det_polys_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(media_ref, image) -> one row per detected POLYGON (box_type='poly',
+    ``det_db_postprocess.py:103-107``): ragged ``array<array<int>>`` points
+    instead of the fixed 4-point quad — the output representation for
+    curved/irregular text regions."""
+    from ..kernels.system import detect_polys
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_ref": [], "poly_idx": [], "points": [], "score": [],
+        }
+        for media_ref, png in zip(pdf["media_ref"], pdf["image"]):
+            img = _safe_decode(png)
+            if img is None:
+                continue
+            polys, scores = detect_polys(img)
+            for i, (p, s) in enumerate(zip(polys, scores)):
+                out["media_ref"].append(media_ref)
+                out["poly_idx"].append(i)
+                out["points"].append([[int(x), int(y)] for x, y in p])
+                out["score"].append(float(s))
+        yield pd.DataFrame(out)

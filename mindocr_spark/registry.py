@@ -89,11 +89,91 @@ def _det_crops():
 
 
 @register_stage("recognize")
-def _recognize():
+def _recognize(decoder: str = "ctc"):
+    """decoder: 'ctc' (RecCTCLabelDecode) or 'attn' (RecAttnLabelDecode)."""
+    from functools import partial
+
     from .operators.media_path import REC_SCHEMA, recognize_iter
 
     def stage(df: DataFrame) -> DataFrame:
-        return df.mapInPandas(recognize_iter, REC_SCHEMA)
+        return df.mapInPandas(partial(recognize_iter, decoder=decoder), REC_SCHEMA)
+
+    return stage
+
+
+@register_stage("det_polys")
+def _det_polys():
+    """box_type='poly' detection output: ragged polygons per media row."""
+    from .operators.media_path import DET_POLYS_SCHEMA, det_polys_iter
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(det_polys_iter, DET_POLYS_SCHEMA)
+
+    return stage
+
+
+@register_stage("pad_crops")
+def _pad_crops(padding_size: int = 10, padding_color: float = 255.0):
+    """add_padding over exploded crop rows (the layout-region pre-rec pad,
+    ``predict_table_e2e.py:183``)."""
+    import numpy as np
+
+    from .operators.media_path import DET_CROPS_SCHEMA
+
+    def _iter(batches):
+        from .functions.imaging import add_padding
+
+        for pdf in batches:
+            crops, hs, ws = [], [], []
+            for blob, h, w, bidx in zip(
+                pdf["crop"], pdf["crop_h"], pdf["crop_w"], pdf["box_idx"]
+            ):
+                if int(bidx) < 0 or int(h) == 0:
+                    crops.append(blob); hs.append(h); ws.append(w)
+                    continue
+                img = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
+                padded = add_padding(img, padding_size, padding_color)
+                padded = np.clip(np.rint(padded), 0, 255).astype(np.uint8)
+                crops.append(padded.tobytes())
+                hs.append(padded.shape[0]); ws.append(padded.shape[1])
+            out = pdf.copy()
+            out["crop"], out["crop_h"], out["crop_w"] = crops, hs, ws
+            yield out
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(_iter, DET_CROPS_SCHEMA)
+
+    return stage
+
+
+@register_stage("rotate_crops")
+def _rotate_crops(angle: float = 180.0):
+    """Arbitrary-angle img_rotate over exploded crop rows
+    (``utils.py:240-257``)."""
+    import numpy as np
+
+    from .operators.media_path import DET_CROPS_SCHEMA
+
+    def _iter(batches):
+        from .functions.imaging import img_rotate
+
+        for pdf in batches:
+            crops = []
+            for blob, h, w, bidx in zip(
+                pdf["crop"], pdf["crop_h"], pdf["crop_w"], pdf["box_idx"]
+            ):
+                if int(bidx) < 0 or int(h) == 0:
+                    crops.append(blob)
+                    continue
+                img = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
+                rot = np.clip(np.rint(img_rotate(img, angle)), 0, 255).astype(np.uint8)
+                crops.append(rot.tobytes())
+            out = pdf.copy()
+            out["crop"] = crops
+            yield out
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(_iter, DET_CROPS_SCHEMA)
 
     return stage
 

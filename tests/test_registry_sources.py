@@ -94,3 +94,76 @@ def test_registry_table_stage(spark):
 
 
 import pandas as pd  # noqa: E402
+
+
+def _media_df(spark, media_pdf, n=4):
+    import pandas as pd
+
+    sub = media_pdf[~media_pdf["media_ref"].str.startswith("pdf_")].head(n)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(len(sub))],
+                "offset": list(range(len(sub))),
+                "media_ref": sub["media_ref"].tolist(),
+                "image": sub["image"].tolist(),
+            }
+        )
+    )
+
+
+def test_registry_attn_recognize_matches_ctc(spark, small_corpus):
+    """The attention head (RecAttnLabelDecode contract) and the CTC head
+    produce the same transcriptions on clean generator crops."""
+    _, _, media_pdf = small_corpus
+    df = _media_df(spark, media_pdf)
+
+    def run(decoder):
+        pipe = build_pipeline(
+            [
+                {"name": "det_crops"},
+                {"name": "recognize", "decoder": decoder},
+                {"name": "drop_score"},
+            ]
+        )
+        return sorted(
+            (r["media_ref"], r["box_idx"], r["text"]) for r in pipe(df).collect()
+        )
+
+    ctc, attn = run("ctc"), run("attn")
+    assert ctc == attn
+    assert len(ctc) > 0
+
+
+def test_registry_det_polys_stage(spark, small_corpus):
+    """box_type='poly' output: ragged array<array<int>> points per region."""
+    _, _, media_pdf = small_corpus
+    df = _media_df(spark, media_pdf)
+    pipe = build_pipeline([{"name": "det_polys"}])
+    rows = pipe(df.select("media_ref", "image")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r["points"]) >= 4
+        assert all(len(pt) == 2 for pt in r["points"])
+        assert r["score"] >= 0.6
+
+
+def test_registry_pad_and_rotate_crops_compose(spark, small_corpus):
+    """pad_crops (white border) and a full rotate_crops(360) round trip do
+    not change recognition output."""
+    _, _, media_pdf = small_corpus
+    df = _media_df(spark, media_pdf)
+    base = build_pipeline(
+        [{"name": "det_crops"}, {"name": "recognize"}, {"name": "drop_score"}]
+    )
+    padded = build_pipeline(
+        [
+            {"name": "det_crops"},
+            {"name": "pad_crops", "padding_size": 10, "padding_color": 255.0},
+            {"name": "rotate_crops", "angle": 360.0},
+            {"name": "recognize"},
+            {"name": "drop_score"},
+        ]
+    )
+    key = lambda rows: sorted((r["media_ref"], r["box_idx"], r["text"]) for r in rows)
+    assert key(base(df).collect()) == key(padded(df).collect())

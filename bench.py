@@ -24,8 +24,9 @@ HEADLINE = [
     "pricing_summary",
     "collect_lines_by_order",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
+    "ngram_jaccard_filtered",
+    "simhash_near_dup_banded",
+    "embedding_near_dup_lsh",
     "cosine_topk",
     "quality_scores",
 ]
@@ -38,15 +39,17 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _prepare_scaling_corpus(sf_dir: str, replicas: int = 2) -> str:
+def _prepare_scaling_corpus(sf_dir: str, replicas: int = 4) -> str:
     """Materialize the derived interleaved corpus to parquet once (untimed):
     the north-rule job reads a stored table, so the scaling measurement
     times extraction-from-storage, not corpus synthesis.
 
-    ``replicas`` doubles the corpus (distinct doc_ids) so per-job fixed
+    ``replicas`` multiplies the corpus (distinct doc_ids) so per-job fixed
     costs (stage scheduling, tiny-shuffle tails) amortize the way they do
-    on a real long-running job — measured: at 4x input the 8->32 pair
-    reaches the machine's multiprocessing ceiling (BENCH.md)."""
+    on a real long-running job. Round-2 measurement: with the 1.55x-faster
+    kernels, 2x input leaves the 8->32 pair overhead-dominated (eff ~0.49);
+    at 4x it reaches ~0.93 of the machine's re-measured pure-multiprocessing
+    ceiling (0.68 at 8->32 — DVFS/all-core clocks, BENCH.md)."""
     import tempfile
 
     from pyspark.sql import functions as F

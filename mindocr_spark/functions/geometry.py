@@ -36,27 +36,31 @@ def row_extremes_xy(pts_yx: np.ndarray) -> np.ndarray:
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain. points (N,2) -> hull (M,2) counter-clockwise
-    in image coords (y down), no duplicate endpoint."""
-    pts = np.unique(points.astype(np.float64), axis=0)
+    in image coords (y down), no duplicate endpoint.
+
+    The chain runs on python float tuples: numpy-scalar arithmetic inside
+    the pop-loop costs ~10x the same math on floats, and np.unique(axis=0)
+    costs more than the dedup it does — sorted(set(...)) gives the same
+    lexicographic (x, y) order."""
+    pts = sorted({(float(x), float(y)) for x, y in np.asarray(points, dtype=np.float64)})
     if len(pts) <= 2:
-        return pts
-    # lexicographic sort by (x, y)
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
+        return np.array(pts, dtype=np.float64)
 
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    def half(seq: list[tuple[float, float]]) -> list[tuple[float, float]]:
+        out: list[tuple[float, float]] = []
+        for px, py in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((px, py))
+        return out
 
-    lower: list[np.ndarray] = []
-    for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-            lower.pop()
-        lower.append(p)
-    upper: list[np.ndarray] = []
-    for p in pts[::-1]:
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-            upper.pop()
-        upper.append(p)
+    lower = half(pts)
+    upper = half(pts[::-1])
     return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
@@ -106,18 +110,26 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
         side = float(np.linalg.norm(b - a))
         return order_points_clockwise(corners), 0.0, side
     edges = np.roll(hull, -1, axis=0) - hull
-    angles = np.arctan2(edges[:, 1], edges[:, 0])
-    best = None
-    for ang in np.unique(np.mod(angles, np.pi / 2)):
-        c, s = np.cos(ang), np.sin(ang)
-        rot = np.array([[c, s], [-s, c]])
-        proj = hull @ rot.T
-        mn = proj.min(axis=0)
-        mx = proj.max(axis=0)
-        area = float((mx[0] - mn[0]) * (mx[1] - mn[1]))
-        if best is None or area < best[0] - 1e-9:
-            best = (area, ang, mn, mx)
-    _, ang, mn, mx = best
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    # all candidate angles in one shot: px/py = hull projected onto every
+    # rotated frame (A, N) — replaces a python loop of tiny matmuls
+    ca, sa = np.cos(angles), np.sin(angles)
+    px = np.outer(ca, hull[:, 0]) + np.outer(sa, hull[:, 1])
+    py = -np.outer(sa, hull[:, 0]) + np.outer(ca, hull[:, 1])
+    mnx, mxx = px.min(axis=1), px.max(axis=1)
+    mny, mxy = py.min(axis=1), py.max(axis=1)
+    areas = (mxx - mnx) * (mxy - mny)
+    # exact replica of the original running-best update (strictly-better by
+    # 1e-9), now over precomputed scalars instead of per-angle matmuls
+    area_list = areas.tolist()
+    k = 0
+    best_area = area_list[0]
+    for i in range(1, len(area_list)):
+        if area_list[i] < best_area - 1e-9:
+            k, best_area = i, area_list[i]
+    ang = float(angles[k])
+    mn = np.array([mnx[k], mny[k]])
+    mx = np.array([mxx[k], mxy[k]])
     c, s = np.cos(ang), np.sin(ang)
     rot = np.array([[c, s], [-s, c]])
     rect = np.array(
@@ -172,27 +184,25 @@ def offset_convex_poly(poly: np.ndarray, distance: float) -> np.ndarray:
     x, y = p[:, 0], p[:, 1]
     signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
     sign = 1.0 if signed > 0 else -1.0
-    lines = []  # (point_on_line, direction)
-    for i in range(n):
-        a, b = p[i], p[(i + 1) % n]
-        e = b - a
-        ln = np.linalg.norm(e)
-        if ln < 1e-12:
-            continue
-        e = e / ln
-        normal = sign * np.array([e[1], -e[0]])  # outward
-        lines.append((a + normal * distance, e))
-    m = len(lines)
-    out = np.zeros((m, 2), dtype=np.float64)
-    for i in range(m):
-        (p1, d1) = lines[i - 1]
-        (p2, d2) = lines[i]
-        denom = d1[0] * d2[1] - d1[1] * d2[0]
-        if abs(denom) < 1e-12:
-            out[i] = p2
-        else:
-            t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / denom
-            out[i] = p1 + t * d1
+    # vectorized edge-shift + pairwise line intersection (the scalar loop
+    # with a np.linalg.norm per edge was a det-path hotspot)
+    nxt = np.roll(p, -1, axis=0)
+    ev = nxt - p
+    ln = np.sqrt(ev[:, 0] ** 2 + ev[:, 1] ** 2)
+    keep = ln >= 1e-12
+    ev = ev[keep] / ln[keep, None]
+    base = p[keep] + sign * distance * np.stack([ev[:, 1], -ev[:, 0]], axis=1)
+    p1 = np.roll(base, 1, axis=0)
+    d1 = np.roll(ev, 1, axis=0)
+    denom = d1[:, 0] * ev[:, 1] - d1[:, 1] * ev[:, 0]
+    ok = np.abs(denom) >= 1e-12
+    t = np.where(
+        ok,
+        ((base[:, 0] - p1[:, 0]) * ev[:, 1] - (base[:, 1] - p1[:, 1]) * ev[:, 0])
+        / np.where(ok, denom, 1.0),
+        0.0,
+    )
+    out = np.where(ok[:, None], p1 + t[:, None] * d1, base)
     return out
 
 

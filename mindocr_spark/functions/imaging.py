@@ -118,19 +118,28 @@ def connected_components(mask: np.ndarray) -> list[np.ndarray]:
                 union(lbl, plbl)
         runs.append((y, x0, x1, lbl))
         cur_runs.append((x0, x1, lbl))
-    groups: dict[int, list[tuple[int, int, int]]] = {}
-    for y, x0, x1, lbl in runs:
-        groups.setdefault(find(lbl), []).append((y, x0, x1))
-    comps: list[np.ndarray] = []
-    for _, g in sorted(groups.items()):
-        pts = [
-            np.stack(
-                [np.full(x1 - x0, y, dtype=np.int64), np.arange(x0, x1, dtype=np.int64)],
-                axis=1,
-            )
-            for y, x0, x1 in g
-        ]
-        comps.append(np.concatenate(pts, axis=0))
+    if not runs:
+        return []
+    # vectorized point assembly: emit every run's pixels in one arange pass
+    # (per-run np.stack/np.full dominated this function's profile), grouped
+    # by root via a stable sort that preserves raster run order per group
+    run_arr = np.array(runs, dtype=np.int64)  # (R, 4): y, x0, x1, lbl
+    roots = np.array([find(int(lbl)) for lbl in run_arr[:, 3]], dtype=np.int64)
+    order = np.argsort(roots, kind="stable")
+    run_arr = run_arr[order]
+    roots = roots[order]
+    lens = run_arr[:, 2] - run_arr[:, 1]
+    total = int(lens.sum())
+    ys_all = np.repeat(run_arr[:, 0], lens)
+    ends = np.cumsum(lens)
+    starts_off = ends - lens
+    xs_all = np.arange(total, dtype=np.int64) + np.repeat(
+        run_arr[:, 1] - starts_off, lens
+    )
+    pts_all = np.stack([ys_all, xs_all], axis=1)
+    # split at root boundaries (runs are root-sorted)
+    cut = np.nonzero(np.diff(roots))[0] + 1
+    comps = np.split(pts_all, ends[cut - 1]) if len(cut) else [pts_all]
     comps.sort(key=lambda p: (int(p[:, 0].min()), int(p[:, 1].min())))
     return comps
 

@@ -115,6 +115,19 @@ def _fill_convex_poly(prob: np.ndarray, poly: np.ndarray, value: float) -> None:
     y1 = min(int(np.ceil(poly[:, 1].max())) + 1, h)
     if x0 >= x1 or y0 >= y1:
         return
+    # axis-aligned fast path: every edge horizontal or vertical -> the
+    # inclusive half-plane tests reduce to a slice fill with identical
+    # pixel-center semantics (ceil(min) .. floor(max) inclusive)
+    dx = np.abs(np.diff(np.append(poly[:, 0], poly[0, 0])))
+    dy = np.abs(np.diff(np.append(poly[:, 1], poly[0, 1])))
+    if bool(((dx < 1e-12) | (dy < 1e-12)).all()):
+        ax0 = max(int(np.ceil(poly[:, 0].min())), 0)
+        ax1 = min(int(np.floor(poly[:, 0].max())) + 1, w)
+        ay0 = max(int(np.ceil(poly[:, 1].min())), 0)
+        ay1 = min(int(np.floor(poly[:, 1].max())) + 1, h)
+        if ax0 < ax1 and ay0 < ay1:
+            prob[ay0:ay1, ax0:ax1] = value
+        return
     xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
     inside = np.ones(xs.shape, dtype=bool)
     n = len(poly)

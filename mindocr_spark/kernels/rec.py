@@ -112,12 +112,28 @@ def _bbox_templates() -> np.ndarray:
     return _BBOX_TEMPLATES
 
 
+# Cross-row memo: rendered corpora draw from a fixed glyph set, so the same
+# ink patch recurs across crops/rows/images — one resample+match per distinct
+# patch instead of one per occurrence (the "batch the numpy kernels across
+# rows" lever: work is shared at patch granularity). Keyed by exact bytes, so
+# a hit returns the bit-identical scores the cold path would; bounded size.
+_MATCH_CACHE: dict[tuple[tuple[int, ...], bytes], np.ndarray] = {}
+_MATCH_CACHE_MAX = 65536
+
+
 def match_glyph(patch_ink: np.ndarray) -> np.ndarray:
     """Binary glyph patch (its own ink bbox) -> similarity scores (36,)."""
+    key = (patch_ink.shape, patch_ink.tobytes())
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit
     grid = area_resize(patch_ink.astype(np.float32), GLYPH_H, GLYPH_W)
     bitmap = (grid >= 0.5).astype(np.float32)
     t = _bbox_templates()  # (36,7,5)
-    return 1.0 - np.abs(t - bitmap[None]).mean(axis=(1, 2))
+    scores = 1.0 - np.abs(t - bitmap[None]).mean(axis=(1, 2))
+    if len(_MATCH_CACHE) < _MATCH_CACHE_MAX:
+        _MATCH_CACHE[key] = scores
+    return scores
 
 
 def analyze_crop(

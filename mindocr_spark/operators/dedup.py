@@ -115,7 +115,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    )
+    ).cache()  # both join sides; uncached, the minhash agg runs twice
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -147,7 +147,13 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document from md5-hashed tokens."""
+    """60-bit SimHash per document from md5-hashed tokens.
+
+    Folded JVM-side: one groupBy(doc_id) with 60 bit-count aggregates plus a
+    token count, instead of exploding every token into 60 bit rows (a 60x
+    row blow-up whose second shuffle dominated the r01 profile). Identical
+    integer math: the per-bit vote s = sum(2*bit - 1) = 2*cnt_b - n, bit set
+    iff s >= 0 — all map-side combinable."""
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -155,17 +161,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h", F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)")
         )
     )
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
-        F.col("h"),
-    ).withColumn("v", F.expr("2 * (cast(shiftright(h, b) & 1 as int)) - 1"))
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .withColumn("bit", F.expr("case when s >= 0 then 1 else 0 end"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("cast(bit as bigint) * shiftleft(1L, b)")).alias("simhash"))
+    aggs = [
+        F.sum(F.expr(f"cast(shiftright(h, {b}) & 1 as bigint)")).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n"), *aggs
+    )
+    sig_expr = " + ".join(
+        f"(case when 2 * c{b} - n >= 0 then shiftleft(1L, {b}) else 0L end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return per_doc.select(
+        "doc_id", F.expr(sig_expr).cast("bigint").alias("simhash")
     )
 
 
@@ -322,6 +330,9 @@ def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_no", "band.band_key")
+    # both join sides reuse the band table; without a cache Catalyst
+    # recomputes the full signature aggregation twice
+    bands = bands.cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -375,11 +386,11 @@ def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: shingles occurring in more than MAX_SHINGLE_FREQ docs are dropped
     BEFORE the self-join (they are stop-gram noise and the join-skew risk),
     then pair Jaccard is computed over each doc's surviving shingle set."""
-    sh = _shingles(_docs(spark, sf_dir))
+    sh = _shingles(_docs(spark, sf_dir)).cache()  # feeds freq AND kept
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = sh.join(
         freq.filter(F.col("df") <= MAX_SHINGLE_FREQ).select("shingle"), "shingle"
-    )
+    ).cache()  # reused by sizes and both self-join sides (3 recomputes)
     sizes = kept.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")

@@ -123,6 +123,9 @@ def main() -> None:
         t0 = time.time()
         _materialize(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        # drop caches a query left behind (dedup ops cache their self-join
+        # inputs) so later queries aren't measured under GC pressure
+        spark.catalog.clearCache()
     spark.stop()
 
     total = round(sum(times.values()), 3)

@@ -57,11 +57,10 @@ def test_queries_oracle_keys_consistent():
     qs = mod.queries()
     osql = mod.oracle_sql()
     assert set(osql) <= set(qs)
-    # every non-OCR query has an oracle
+    # every query except these has a DuckDB oracle (round 2: the flagship
+    # extraction gained a full end-to-end oracle, EXTRACT_ORACLE_SQL)
     no_oracle = set(qs) - set(osql)
     assert no_oracle == {
-        "extract_interleaved",
-        "extract_interleaved_exploded",
         "ocr_golden_records",
         "image_meta_derived",
         "ocr_eval_selftest",

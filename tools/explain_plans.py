@@ -20,12 +20,14 @@ def main() -> None:
         "cosine_topk",
         "minhash_lsh_pairs",
         "sessionize_events",
+        "simhash_near_dup_banded",
+        "embedding_near_dup_lsh",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    out = ["# PLANS — formatted physical plans (sf0.01, round 1)\n"]
+    out = ["# PLANS — formatted physical plans (sf0.01, round 2)\n"]
     for name in names:
         df = qs[name](spark, sf)
         plan = df._jdf.queryExecution().explainString(mode)

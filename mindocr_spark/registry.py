@@ -209,6 +209,64 @@ def _repartition_cpu(key: str = "media_ref", factor: int = 2):
     return stage
 
 
+@register_stage("rec_resize_tensor")
+def _rec_resize_tensor():
+    from .operators.tensors import CROP_TENSOR_SCHEMA, rec_resize_tensor_iter
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(rec_resize_tensor_iter, CROP_TENSOR_SCHEMA)
+
+    return stage
+
+
+@register_stage("normalize_image")
+def _normalize_image(mean: float = 127.5, std: float = 127.5):
+    """NormalizeImage (general_transforms.py:89-130) as a standalone stage."""
+    from functools import partial
+
+    from .operators.tensors import CROP_TENSOR_SCHEMA, normalize_image_iter
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(
+            partial(normalize_image_iter, mean=mean, std=std), CROP_TENSOR_SCHEMA
+        )
+
+    return stage
+
+
+@register_stage("to_chw")
+def _to_chw():
+    """ToCHWImage (general_transforms.py:149-160) as a standalone stage."""
+    from .operators.tensors import CROP_TENSOR_SCHEMA, to_chw_iter
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(to_chw_iter, CROP_TENSOR_SCHEMA)
+
+    return stage
+
+
+@register_stage("gear_pad")
+def _gear_pad(gears: list[int] | None = None, height: int = 32):
+    """Pad-to-gear (gear_utils.py:10-70) + repartition on the padded width
+    so same-gear tensors co-locate for contiguous batch stacking."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from .operators.tensors import GEAR_TENSOR_SCHEMA, gear_pad_iter
+
+    gs = gears or [64, 128, 256, 320]
+
+    def stage(df: DataFrame) -> DataFrame:
+        out = df.mapInPandas(
+            partial(gear_pad_iter, gears=gs, height=height), GEAR_TENSOR_SCHEMA
+        )
+        n = df.sparkSession.sparkContext.defaultParallelism * 2
+        return out.repartition(n, F.element_at("dims", -1))
+
+    return stage
+
+
 @register_stage("table_cells")
 def _table_cells():
     from .operators.table_path import TABLE_CELLS_SCHEMA, table_cells_iter

@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale; the banded/filtered operators below are the production paths.
         "simhash_near_dup_banded": dedup.simhash_near_dup_banded,
         "ngram_jaccard_filtered": dedup.ngram_jaccard_filtered,
+        "near_dup_clusters": dedup.near_dup_clusters,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -201,6 +202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": quality.token_counts,
         "lang_id": quality.lang_id,
         "doc_fingerprints": quality.doc_fingerprints,
+        "top_distinctive_terms": quality.top_distinctive_terms,
+        "stratified_sample": quality.stratified_sample,
     }
 
 
@@ -241,6 +244,9 @@ def oracle_sql() -> dict[str, str]:
         # threshold: the band bucket-join is provably equivalent (pigeonhole)
         "simhash_near_dup_banded": dedup.SIMHASH_NEAR_DUP_BANDED_SQL,
         "ngram_jaccard_filtered": dedup.NGRAM_JACCARD_FILTERED_SQL,
+        # iterative Hash-Min CC in Spark vs a recursive CTE in DuckDB —
+        # same fixpoint (min reachable doc_id per component)
+        "near_dup_clusters": dedup.NEAR_DUP_CLUSTERS_SQL,
         "cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
@@ -249,4 +255,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": quality.TOKEN_COUNTS_SQL,
         "lang_id": quality.LANG_ID_SQL,
         "doc_fingerprints": quality.DOC_FINGERPRINT_SQL,
+        "top_distinctive_terms": quality.TOP_TERMS_SQL,
+        "stratified_sample": quality.STRATIFIED_SAMPLE_SQL,
     }

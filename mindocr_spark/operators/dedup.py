@@ -432,3 +432,97 @@ JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
 """
+
+
+MAX_CC_ITERS = 30
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph, each document labeled with the smallest doc_id
+    reachable from it (the canonical "keeper" of its duplicate cluster —
+    the dedup decision a training-data pipeline actually applies).
+
+    Spark implementation: iterative Hash-Min label propagation — labels
+    start as doc_id; each round every vertex takes the min of its own label
+    and its neighbors' labels; converged when a round changes nothing
+    (checked with one count per round). ``localCheckpoint`` truncates the
+    growing lineage each round (else the plan doubles per iteration).
+    Deterministic: the fixpoint is exactly min-reachable-id. At 10^12 docs
+    Hash-Min needs O(diameter) rounds; duplicate clusters are shallow
+    (diameter is small for near-dup graphs), and the production upgrade is
+    the alternating small-star/large-star contraction (O(log n) rounds) —
+    same fixpoint, so the oracle is unchanged.
+
+    Oracle: a DuckDB recursive CTE computing min-reachable-id directly.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
+    return labels.select("doc_id", "cluster_id")
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([
+    {", ".join(f"'b{b}:' || mh{2*b} || '|' || mh{2*b+1}" for b in range(N_BANDS))}
+  ]) AS band FROM mh
+),
+pr AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION ALL SELECT doc_b, doc_a FROM pr
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.doc_id
+)
+SELECT doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY doc_id
+"""

@@ -161,3 +161,86 @@ SELECT doc_id,
                  for i in range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1)]) AS fingerprint
 FROM documents
 """
+
+
+def top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms — the TF-IDF operator with an
+    integer-exact ranking: order by (term frequency DESC, document frequency
+    ASC, term ASC). A float idf (ln ratio) would rank identically on ties-
+    free data but is NOT bit-stable across engines (libm ln differs), so the
+    rank key stays integer (CLAUDE.md engine-exactness rule).
+
+    Plan shape: explode -> (doc, term) count -> term df via a second
+    aggregation on the SAME grouped output (no re-scan) -> window top-k.
+    At 100 TB both aggregations are map-side combinable; the window
+    partitions by doc_id (the natural key, no skew beyond doc length)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+STRATUM_SAMPLE_K = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per ``lang`` stratum, the K
+    documents with the smallest md5(doc_id) — a reproducible uniform draw
+    (hash order is independent of document content/position) that needs no
+    RNG state. At 100 TB: one window per stratum; for heavy strata switch
+    the window to a TABLESAMPLE-style hash-range predicate
+    (md5 < threshold), which is a pure filter — no shuffle at all."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= STRATUM_SAMPLE_K)
+        .select("doc_id", "lang", "rank")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rank
+  FROM h
+)
+SELECT doc_id, lang, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {STRATUM_SAMPLE_K}
+"""

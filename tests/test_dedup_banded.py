@@ -51,3 +51,36 @@ def test_banded_plans_have_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_clusters_match_local_union_find(spark):
+    """Iterative Hash-Min CC fixpoint == a local union-find over the same
+    candidate-pair edges (min reachable doc_id per component)."""
+    pairs = [(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(spark, SF).collect()]
+    labels = {r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(spark, SF).collect()}
+    assert len(labels) == 500  # every doc labeled, singletons included
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for d in labels:
+        comp.setdefault(find(d) if d in parent else d, []).append(d)
+    expected = {}
+    for members in comp.values():
+        m = min(members)
+        for d in members:
+            expected[d] = m
+    assert labels == expected
+    # the corpus contains real near-dup clusters (non-trivial components)
+    assert any(v != k for k, v in labels.items())

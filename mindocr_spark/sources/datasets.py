@@ -104,3 +104,43 @@ def read_xfund(spark: SparkSession, path: str) -> DataFrame:
         F.col("e.box").alias("box"),
         F.col("e.linking").alias("linking"),
     )
+
+
+def read_synthtext(spark: SparkSession, mat_path: str, data_dir: str = "") -> DataFrame:
+    """SynthText ``gt.mat`` -> one row per image:
+    (img_path, polys array<array<array<double>>> (M,4,2), texts, ignore_tags)
+    — exactly ``SynthTextDataset.load_data_list``
+    (``mindocr/data/det_dataset.py:162-180``): texts are the
+    whitespace-split tokens of the char-array rows, polys are the 2x4xM
+    wordBB transposed to (M,4,2) (labels without a batch dim reshape to
+    (1,4,2)), ignore_tags all False.
+
+    The .mat is parsed once driver-side with the pure-numpy MAT-5 reader
+    (``functions/mat5.py`` — scipy is absent here); it is a single manifest
+    file in the reference too. At scale, convert once to parquet (the
+    reference ships the same advice as ``tools/dataset_converters``)."""
+    import os
+
+    import numpy as np
+
+    from ..functions.mat5 import loadmat
+
+    mat = loadmat(mat_path)
+    rows = []
+    for image, boxes, texts in zip(mat["imnames"][0], mat["wordBB"][0], mat["txt"][0]):
+        img_name = image[0] if isinstance(image, list) else str(image)
+        toks = [t for text in texts for t in text.split()]
+        polys = np.asarray(boxes, dtype=np.float64).transpose().reshape(-1, 4, 2)
+        rows.append(
+            (
+                os.path.join(data_dir, img_name),
+                [[[float(x), float(y)] for x, y in quad] for quad in polys],
+                toks,
+                [False] * len(toks),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "img_path string, polys array<array<array<double>>>, "
+        "texts array<string>, ignore_tags array<boolean>",
+    )

@@ -68,3 +68,43 @@ def test_read_xfund(spark, tmp_path):
     assert [r["label"] for r in rows] == ["question", "answer"]
     assert rows[1]["text"] == "smith"
     assert rows[0]["linking"] == [[0, 1]]
+
+
+def test_synthtext_mat_source(spark, tmp_path):
+    """Pure-numpy MAT-5 reader feeding the SynthText source (scipy absent);
+    semantics mirror det_dataset.py:162-180 incl. the no-batch-dim reshape."""
+    import numpy as np
+
+    from mindocr_spark.functions.mat5 import savemat
+    from mindocr_spark.sources.datasets import read_synthtext
+
+    imnames = np.empty((1, 2), dtype=object)
+    imnames[0, 0] = ["8/ballet_106_0.jpg"]
+    imnames[0, 1] = ["8/ballet_106_1.jpg"]
+    bb0 = np.stack(
+        [
+            np.array([[0, 10, 10, 0], [0, 0, 5, 5]], dtype=np.float64),
+            np.array([[20, 40, 40, 20], [0, 0, 8, 8]], dtype=np.float64),
+        ],
+        axis=2,
+    )  # (2, 4, 2): two word quads
+    bb1 = np.array([[1, 9, 9, 1], [2, 2, 7, 7]], dtype=np.float64)  # (2, 4): one quad, no batch dim
+    wordBB = np.empty((1, 2), dtype=object)
+    wordBB[0, 0] = bb0
+    wordBB[0, 1] = bb1
+    txt = np.empty((1, 2), dtype=object)
+    txt[0, 0] = ["Lines:      ", "I lost      "]
+    txt[0, 1] = ["solo"]
+    p = str(tmp_path / "gt.mat")
+    savemat(p, {"imnames": imnames, "wordBB": wordBB, "txt": txt})
+
+    rows = {r["img_path"]: r for r in read_synthtext(spark, p, "/data").collect()}
+    assert set(rows) == {"/data/8/ballet_106_0.jpg", "/data/8/ballet_106_1.jpg"}
+    r0 = rows["/data/8/ballet_106_0.jpg"]
+    assert r0["texts"] == ["Lines:", "I", "lost"]
+    assert len(r0["polys"]) == 2 and len(r0["polys"][0]) == 4
+    # (2,4,M).transpose() -> (M,4,2): first quad's first point is (x0,y0)
+    assert r0["polys"][0][0] == [0.0, 0.0] and r0["polys"][0][2] == [10.0, 5.0]
+    r1 = rows["/data/8/ballet_106_1.jpg"]
+    assert len(r1["polys"]) == 1 and r1["texts"] == ["solo"]
+    assert r1["ignore_tags"] == [False]

@@ -129,3 +129,34 @@ def yolo_layout_postprocess(
                 }
             )
     return results
+
+
+def letterbox(
+    image: np.ndarray,
+    new_shape: int | tuple[int, int],
+    scaleup: bool = False,
+    color: float = 114.0,
+) -> tuple[np.ndarray, float, tuple[float, float]]:
+    """Forward letterbox (``mindocr/data/layout_dataset.py:361-399``,
+    yolo-family path): keep-ratio resize by r = min(new/old) (never upscaled
+    unless ``scaleup``), then pad both sides with gray 114 using the
+    reference's round(d -/+ 0.1) split. Returns (image, r, (dh, dw)) — the
+    exact inputs :func:`scale_coords` inverts."""
+    from ..functions.imaging import add_padding, resize_bilinear
+
+    h, w = image.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / h, new_shape[1] / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_unpad = (int(round(w * r)), int(round(h * r)))  # (w, h)
+    dw = abs(new_shape[1] - new_unpad[0]) / 2.0
+    dh = abs(new_shape[0] - new_unpad[1]) / 2.0
+    out = image.astype(np.float32)
+    if (w, h) != new_unpad:
+        out = resize_bilinear(out, new_unpad[1], new_unpad[0])
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    out = add_padding(out, (top, bottom, left, right), color)
+    return out.astype(np.float32), float(r), (dh, dw)

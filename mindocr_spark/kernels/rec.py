@@ -168,3 +168,25 @@ def logits_from_analysis(
 def rec_logits(resized_crop: np.ndarray) -> np.ndarray:
     """(32, W) float crop -> (T, 37) probs (analyze + assemble)."""
     return logits_from_analysis(analyze_crop(resized_crop))
+
+
+def rec_resize_padded(
+    crop: np.ndarray, image_shape: tuple[int, int] = (32, 320), padding: bool = True
+) -> tuple[np.ndarray, float]:
+    """``resize_norm_img`` (``rec_transforms.py:457-484``, the
+    RecResizeImg/SVTR fixed-shape variant): keep-ratio resize to target
+    height, right-pad with zeros to the FIXED width (vs
+    :func:`rec_resize_norm`'s variable width); ``padding=False`` stretches.
+    Returns (float32 (imgH, imgW), valid_ratio = resized_w / imgW)."""
+    import math
+
+    img_h, img_w = image_shape
+    h, w = crop.shape[:2]
+    if not padding:
+        return resize_bilinear(crop, img_h, img_w), 1.0
+    ratio = w / float(max(h, 1))
+    resized_w = img_w if math.ceil(img_h * ratio) > img_w else int(math.ceil(img_h * ratio))
+    resized = resize_bilinear(crop, img_h, max(resized_w, 1))
+    out = np.zeros((img_h, img_w), dtype=np.float32)
+    out[:, : resized.shape[1]] = resized
+    return out, min(1.0, float(resized_w / img_w))

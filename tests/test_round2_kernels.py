@@ -177,3 +177,46 @@ class TestPaddingAndRotate:
         # sub-region containing only the second word
         text2 = layout_region_text(page, (0, 64, page.shape[1], 128))
         assert text2 == "batch"
+
+
+class TestResizeVariants:
+    def test_rec_resize_padded_fixed_shape(self):
+        from mindocr_spark.kernels.rec import rec_resize_padded
+
+        crop = np.full((16, 80), 200, dtype=np.uint8)  # ratio 5 -> w 160
+        out, vr = rec_resize_padded(crop, (32, 320))
+        assert out.shape == (32, 320)
+        assert vr == pytest.approx(160 / 320)
+        assert out[:, :160].mean() == pytest.approx(200.0, abs=0.5)
+        assert float(np.abs(out[:, 160:]).max()) == 0.0  # zero right-pad
+        # wider than the gear width: capped, valid_ratio 1.0
+        wide = np.full((16, 400), 50, dtype=np.uint8)
+        out2, vr2 = rec_resize_padded(wide, (32, 320))
+        assert out2.shape == (32, 320) and vr2 == 1.0
+        # stretch mode
+        out3, vr3 = rec_resize_padded(crop, (32, 320), padding=False)
+        assert out3.shape == (32, 320) and vr3 == 1.0
+
+    def test_letterbox_roundtrip_with_scale_coords(self):
+        from mindocr_spark.kernels.layout_post import letterbox, scale_coords
+
+        img = np.full((100, 200), 30, dtype=np.uint8)
+        out, r, (dh, dw) = letterbox(img, 640, scaleup=True)
+        assert out.shape == (640, 640)
+        assert r == pytest.approx(3.2)
+        # pad rows are the 114 gray, content area preserved
+        assert out[0, 0] == pytest.approx(114.0)
+        assert out[320, 320] == pytest.approx(30.0, abs=1.0)
+        # a box at original (10, 20, 50, 60) maps into letterbox space and
+        # scale_coords (the existing undo kernel) inverts it
+        box = np.array([[10 * r + dw, 20 * r + dh, 50 * r + dw, 60 * r + dh]])
+        back = scale_coords(box.copy(), (100, 200), r, (dw, dh))
+        assert np.allclose(back, [[10, 20, 50, 60]], atol=1.0)
+
+    def test_letterbox_no_scaleup_by_default(self):
+        from mindocr_spark.kernels.layout_post import letterbox
+
+        img = np.zeros((100, 200), dtype=np.uint8)
+        out, r, _ = letterbox(img, 640)
+        assert r == 1.0  # scale-down only (reference scaleup=False default)
+        assert out.shape == (640, 640)

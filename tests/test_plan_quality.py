@@ -1,0 +1,60 @@
+"""Plan-quality regression gates: predicate pushdown, column pruning, and
+broadcast choices must survive refactors (the 100 TB contract — a scan that
+reads all columns for a 2-column projection is wrong at any sf)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    from mindocr_spark.operators.relational import pricing_summary
+
+    plan = _plan(pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_quality_scores_prunes_columns(spark):
+    """documents has 5 columns; the quality query needs doc_id + text only."""
+    from mindocr_spark.operators.quality import quality_scores
+
+    plan = _plan(quality_scores(spark, SF))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_supplier_part_join_broadcasts_dims(spark):
+    from mindocr_spark.operators.relational import supplier_part_join
+
+    plan = _plan(supplier_part_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dup_partial_aggregation(spark):
+    """Hash-groupBy dedup must keep the map-side partial aggregate (two
+    HashAggregate nodes around one Exchange)."""
+    from mindocr_spark.operators.dedup import exact_dup_groups
+
+    plan = _plan(exact_dup_groups(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_extract_has_no_cartesian_and_bounded_shuffles(spark, small_corpus):
+    from mindocr_spark.plans.extract import extract, load_corpus
+
+    corpus_dir, _, _ = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    for mode in ("fused", "exploded"):
+        plan = _plan(extract(spark, spans, media, mode=mode))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -88,7 +88,8 @@ def _run_extraction_throughput(cores: int, corpus_dir: str) -> tuple[float, int]
     # throughput (what a long-running 100TB job sees), not JVM+worker spawn
     _materialize(extract(spark, spans.limit(64), media, mode="fused"))
     best = None
-    reps = 2 if cores >= 8 else 1  # short runs are noisy; long runs self-average
+    # short runs are noisy (this sandbox spikes ~2x); long runs self-average
+    reps = 3 if cores >= 32 else (2 if cores >= 8 else 1)
     for _ in range(reps):  # best-of-N: scheduler/GC noise is ~15% per sample
         t0 = time.time()
         _materialize(extract(spark, spans, media, mode="fused"))
@@ -120,12 +121,19 @@ def main() -> None:
     _materialize(_extract(spark, _w_spans, _w_media, mode="fused"))
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-        # drop caches a query left behind (dedup ops cache their self-join
-        # inputs) so later queries aren't measured under GC pressure
-        spark.catalog.clearCache()
+        # best-of-2 everywhere: this sandbox shows migrating 2-10x single-
+        # query spikes (JVM/GC/neighbor noise) even in exclusive runs.
+        # clearCache between reps keeps every rep COLD (dedup ops cache
+        # their self-join inputs; without the clear, rep 2 would report
+        # warm-cache time and not be comparable round-over-round).
+        reps = 2
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            best = min(best or 1e9, time.time() - t0)
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
     spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -151,10 +159,15 @@ def main() -> None:
         corpus_dir = _prepare_scaling_corpus(sf_dir)
         timings: dict[int, float] = {}
         n = 0
-        for lo, hi in pairs:
-            for c in (lo, hi):
-                if c not in timings:
-                    timings[c], n = _run_extraction_throughput(c, corpus_dir)
+        try:
+            for lo, hi in pairs:
+                for c in (lo, hi):
+                    if c not in timings:
+                        timings[c], n = _run_extraction_throughput(c, corpus_dir)
+        finally:
+            import shutil
+
+            shutil.rmtree(corpus_dir, ignore_errors=True)
         out["scaling"] = [
             {
                 "cores_lo": lo,

@@ -210,13 +210,14 @@ def validate_det_res(
 ) -> list[np.ndarray]:
     """Clip polys into the image, drop degenerate ones (area < 3)
     (``tools/infer/text/predict_det.py:164-215``)."""
+    from ..functions.geometry import poly_area_perimeter
+
     out: list[np.ndarray] = []
     for p in polys:
         q = p.astype(np.float64)
         q[:, 0] = np.clip(q[:, 0], 0, src_w - 1)
         q[:, 1] = np.clip(q[:, 1], 0, src_h - 1)
-        x, y = q[:, 0], q[:, 1]
-        area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        area, _per = poly_area_perimeter(q)
         if area < 3.0:
             continue
         out.append(q.astype(np.int64))

@@ -129,3 +129,82 @@ def test_extract_main_text_total(raw):
     assert isinstance(out, str)
     assert "  " not in out
     assert out == out.strip()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_mat5_roundtrip_random(seed):
+    """savemat/loadmat (pure-numpy MAT-5 subset) roundtrip: cell arrays of
+    strings, char rows, and double tensors survive bit-exactly."""
+    from mindocr_spark.functions.mat5 import loadmat, savemat
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, 4)
+    names = np.empty((1, n), dtype=object)
+    bbs = np.empty((1, n), dtype=object)
+    txts = np.empty((1, n), dtype=object)
+    for i in range(n):
+        names[0, i] = [f"dir{rng.randint(9)}/img_{rng.randint(999)}.jpg"]
+        m = rng.randint(1, 5)
+        bbs[0, i] = rng.rand(2, 4, m) * 100
+        txts[0, i] = [
+            " ".join(
+                "".join(rng.choice(list("abcxyz"), rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 4))
+            )
+            for _ in range(rng.randint(1, 3))
+        ]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mat") as f:
+        savemat(f.name, {"imnames": names, "wordBB": bbs, "txt": txts},
+                compress=bool(seed % 2))
+        m5 = loadmat(f.name)
+    for i in range(n):
+        assert m5["imnames"][0, i] == names[0, i]
+        assert np.array_equal(m5["wordBB"][0, i], bbs[0, i])
+        # char matrices right-pad rows to equal width
+        w = max(len(s) for s in txts[0, i])
+        assert m5["txt"][0, i] == [s.ljust(w) for s in txts[0, i]]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_approx_poly_dp_output_subset_within_eps(seed):
+    """DP simplification only keeps input vertices, always keeps >= 2, and
+    every dropped point lies within eps of the simplified chain (checked on
+    an open chain where the DP guarantee is exact)."""
+    from mindocr_spark.functions.geometry import approx_poly_dp
+
+    rng = np.random.RandomState(seed)
+    pts = np.cumsum(rng.randn(rng.randint(5, 40), 2), axis=0)
+    eps = float(rng.rand() * 2)
+    out = approx_poly_dp(pts, eps, closed=False)
+    in_set = {tuple(p) for p in pts.tolist()}
+    assert all(tuple(p) in in_set for p in out.tolist())
+    assert len(out) >= 2
+    # max deviation bound for the open-chain variant
+    kept_idx = [int(np.nonzero((pts == p).all(axis=1))[0][0]) for p in out]
+    for a_i, b_i in zip(kept_idx, kept_idx[1:]):
+        a, b = pts[a_i], pts[b_i]
+        ab = b - a
+        ln = np.linalg.norm(ab)
+        seg = pts[a_i + 1 : b_i]
+        if len(seg) == 0:
+            continue
+        if ln < 1e-12:
+            d = np.linalg.norm(seg - a, axis=1)
+        else:
+            d = np.abs((seg[:, 0] - a[0]) * ab[1] - (seg[:, 1] - a[1]) * ab[0]) / ln
+        assert (d <= eps + 1e-9).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_img_rotate_360_identity(seed):
+    from mindocr_spark.functions.imaging import img_rotate
+
+    rng = np.random.RandomState(seed)
+    img = rng.rand(17, 23).astype(np.float32) * 255
+    out = img_rotate(img, 360.0)
+    assert np.allclose(out, img, atol=1e-2)

@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": quality.doc_fingerprints,
         "top_distinctive_terms": quality.top_distinctive_terms,
         "stratified_sample": quality.stratified_sample,
+        # capstone compose: dedup keepers x quality floor x lang allowlist
+        "training_corpus_filter": quality.training_corpus_filter,
     }
 
 
@@ -257,4 +259,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": quality.DOC_FINGERPRINT_SQL,
         "top_distinctive_terms": quality.TOP_TERMS_SQL,
         "stratified_sample": quality.STRATIFIED_SAMPLE_SQL,
+        "training_corpus_filter": quality.TRAINING_CORPUS_SQL,
     }

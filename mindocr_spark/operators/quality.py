@@ -244,3 +244,89 @@ ranked AS (
 SELECT doc_id, lang, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {STRATUM_SAMPLE_K}
 """
+
+
+TRAINING_MIN_QUALITY = 500
+TRAINING_LANGS = ("de", "en", "es", "fr")
+
+
+def training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone data-prep pipeline query: the kept training corpus =
+    documents that are (1) the canonical keeper of their near-dup cluster
+    (``near_dup_clusters``: cluster_id == doc_id), (2) above the quality
+    floor, and (3) in an allowed language — the three filters an LLM-data
+    pipeline composes before tokenization.
+
+    Plan shape at 100 TB: clusters come from the banded-LSH CC (bounded
+    per-bucket work), quality is pure Catalyst; the final selection is two
+    equi-joins on doc_id — co-partitioned if the corpus is bucketed by
+    doc_id, so the compose adds no extra full shuffle."""
+    from .dedup import near_dup_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    keepers = (
+        near_dup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_milli")
+    return (
+        docs.join(keepers, "doc_id")
+        .join(q, "doc_id")
+        .filter(
+            (F.col("quality_milli") >= TRAINING_MIN_QUALITY)
+            & F.col("lang").isin(*TRAINING_LANGS)
+        )
+        .select("doc_id", "lang", "quality_milli")
+    )
+
+
+def _training_corpus_sql() -> str:
+    from .dedup import N_BANDS, N_MINHASH, _SHINGLES_SQL
+
+    mh_cols = ", ".join(
+        f"min(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+    )
+    band_cols = ", ".join(
+        f"'b{b}:' || mh{2*b} || '|' || mh{2*b+1}" for b in range(N_BANDS)
+    )
+    langs = ", ".join(f"'{g}'" for g in TRAINING_LANGS)
+    return f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{band_cols}]) AS band FROM mh),
+pr AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.doc_id
+),
+clusters AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, t -> t IN ({_SW_LIST_SQL})))::BIGINT AS n_stop,
+         (length(text) - (len(toks) - 1))::BIGINT AS sum_tok_len
+  FROM d
+),
+q AS (
+  SELECT doc_id,
+         (least(n_tokens, 100) * 5
+          + least((sum_tok_len * 75) // (n_tokens * 2), 300)
+          + 200 - least((n_stop * 400) // n_tokens, 200))::BIGINT AS quality_milli
+  FROM m
+)
+SELECT doc.doc_id, doc.lang, q.quality_milli
+FROM documents doc
+JOIN clusters c ON c.doc_id = doc.doc_id AND c.cluster_id = doc.doc_id
+JOIN q ON q.doc_id = doc.doc_id
+WHERE q.quality_milli >= {TRAINING_MIN_QUALITY} AND doc.lang IN ({langs})
+"""
+
+
+TRAINING_CORPUS_SQL = _training_corpus_sql()

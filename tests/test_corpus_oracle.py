@@ -63,3 +63,39 @@ def test_oracle_order_is_offset_rank(small_corpus):
         assert [s["order"] for s in row["out_spans"]] == list(
             range(len(row["out_spans"]))
         )
+
+
+def test_extract_oracle_assumptions_hold_at_sf01():
+    """EXTRACT_ORACLE_SQL is valid only while (a) the HTML strip is an
+    identity on wrapper.format(text) and (b) media words are SQL-predictable
+    from text. Verify both across the FULL sf0.1 documents table (the gate
+    itself only runs sf0.01) so generator drift can't silently invalidate
+    the flagship oracle."""
+    import duckdb
+
+    from mindocr_spark.data.derive_corpus import _WRAPPERS, media_words_for
+    from mindocr_spark.functions.html_text import extract_main_text
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.1/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    assert len(docs) >= 1000
+    predicted = con.execute(
+        """
+        SELECT doc_id,
+          coalesce(nullif(array_to_string(
+            (list_filter(string_split(text,' '),
+                 w -> len(w) BETWEEN 2 AND 7 AND regexp_matches(w,'^[0-9a-z]+$'))
+            )[1:3], ' '), ''), 'empty') AS mt
+        FROM read_parquet('/root/testdata/sf0.1/documents.parquet')
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    for (did, text), (_, mt) in zip(docs, predicted):
+        wrapper = _WRAPPERS[int(did) % len(_WRAPPERS)]
+        assert extract_main_text(wrapper.format(text)) == text, did
+        assert " ".join(media_words_for(text)) == mt, did
+        # JSON-safety of the oracle's string concatenation
+        assert '"' not in text and "\\" not in text, did

@@ -237,6 +237,7 @@ def trace_boundary(comp_pts: np.ndarray) -> np.ndarray:
     cur = (sy, sx)
     back = 6  # virtual backtrack: the (empty) W neighbor of the start pixel
     first_move: tuple[tuple[int, int], int] | None = None
+    max_steps = 4 * int(mask.sum()) + 8  # a boundary cannot exceed this
     while True:
         found = -1
         for k in range(1, 9):
@@ -256,10 +257,8 @@ def trace_boundary(comp_pts: np.ndarray) -> np.ndarray:
         cur = nxt
         # new backtrack: direction from nxt to the previous pixel
         back = (found + 4) % 8
-        if cur == (sy, sx) and len(boundary) > 1 and boundary[-1] != cur:
-            pass  # closure handled by first_move repetition
         boundary.append(cur)
-        if len(boundary) > 4 * mask.sum() + 8:  # safety: cannot exceed this
+        if len(boundary) > max_steps:  # safety
             break
     if len(boundary) > 1 and boundary[-1] == boundary[0]:
         boundary = boundary[:-1]

@@ -1,14 +1,41 @@
 """Derive an interleaved spans+media corpus from the driver's ``documents``
 table — deterministically, on executors (no driver-side rendering).
 
-Each document row (doc_id bigint, text) maps to:
-- 1-2 text spans: the document text wrapped in deterministic HTML
-  boilerplate (nav/script/footer variants chosen by doc_id),
-- 1 media span: a page rendering the first 1-3 charset-safe tokens of the
-  text, PNG-encoded.
+Each document row (doc_id bigint, text) maps to one of EIGHT span shapes
+keyed on ``doc_id % 8`` (round 3: the corpus exercises every reassembly
+behavior the engine claims, so the driver's DuckDB hash gate certifies
+them all — variable span counts, interleaved/non-contiguous offsets,
+out-of-order span listings, media_refs shared across documents, missing
+media, and empty documents):
 
-Everything is a pure function of (doc_id, text), so Spark executors and the
-pandas oracle produce identical corpora at any parallelism.
+====  =========================================================
+m     shape (offsets as listed in the spans array)
+====  =========================================================
+0     text(0) + PDF media(1)                       [classic, PDF]
+1     text(0) + image media(1)                     [classic, image]
+2     media(4), text=words(2), text=body(0)        [3 spans, listed
+      out of offset order, offsets non-contiguous]
+3     media=words(1), text=body(3), media=word1(5) [two media spans]
+4     text(0) + media ref of doc ``d-3``(1)        [SHARED media_ref:
+      no media row of its own; d-3 is an m=1 doc]
+5     (no spans)                                   [empty document]
+6     d%16==6 : media(2) only                      [media-only doc]
+      d%16==14: media(2) with a ref absent from the
+      media table -> extracted text '' (decode-skip)
+7     text=words(7), text=body(3)                  [text-only, listed
+      reversed]
+====  =========================================================
+
+Text spans wrap their inner text in deterministic HTML boilerplate
+(nav/script/footer variants chosen by doc_id); image media render the
+first 1-3 charset-safe tokens of the text ("words"); PDFs carry the same
+words as a text layer.
+
+Everything is a pure function of (doc_id, text) — plus, for m=4, of the
+text of doc ``d-3`` (driver doc_ids are contiguous from 0, verified in
+tests/test_corpus_oracle.py) — so Spark executors and the pandas oracle
+produce identical corpora at any parallelism, and EXTRACT_ORACLE_SQL
+(plans/extract.py) can reconstruct the exact expected output per shape.
 """
 
 from __future__ import annotations
@@ -50,49 +77,90 @@ def spans_for_doc(
 ) -> tuple[list[dict], list[dict]]:
     """Pure mapping: one driver document -> (spans, media rows).
 
-    ``with_media=False`` skips the (CPU-heavy) page rendering when only the
-    spans side is being generated."""
-    did = f"doc_{int(doc_id):08d}"
-    wrapper = _WRAPPERS[int(doc_id) % len(_WRAPPERS)]
+    Shape class = ``doc_id % 8`` (module docstring table). ``with_media=False``
+    skips the (CPU-heavy) page rendering when only the spans side is being
+    generated."""
+    d = int(doc_id)
+    did = f"doc_{d:08d}"
+    wrapper = _WRAPPERS[d % len(_WRAPPERS)]
     words = media_words_for(text)
-    # every 4th document's media is a text-layer PDF instead of an image
-    if int(doc_id) % 4 == 0:
-        from ..functions.pdf_text import make_simple_pdf
+    wtext = " ".join(words)
+    m = d % 8
 
-        media_ref = f"pdf_{int(doc_id):08d}_01"
-        spans = [
-            {"kind": "text", "text": wrapper.format(text), "media_ref": None, "offset": 0},
-            {"kind": "media", "text": None, "media_ref": media_ref, "offset": 1},
-        ]
-        media = [
-            {
-                "media_ref": media_ref,
-                "image": make_simple_pdf([" ".join(words)]),
-                "width": 0,
-                "height": 0,
-            }
-        ]
-        return [{"doc_id": did, "spans": spans}], media
-    media_ref = f"img_{int(doc_id):08d}_01"
-    spans = [
-        {"kind": "text", "text": wrapper.format(text), "media_ref": None, "offset": 0},
-        {"kind": "media", "text": None, "media_ref": media_ref, "offset": 1},
-    ]
-    if not with_media:
-        return [{"doc_id": did, "spans": spans}], []
-    height = ((len(words) * 64 + 31) // 32) * 32
-    width = ((max(len(w) for w in words) * 24 + 48 + 31) // 32) * 32
-    page, _gt = render_page(
-        [(w, 16 + i * 64, 16) for i, w in enumerate(words)], height, width
-    )
-    media = [
-        {
-            "media_ref": media_ref,
+    def text_span(inner: str, offset: int) -> dict:
+        return {
+            "kind": "text",
+            "text": wrapper.format(inner),
+            "media_ref": None,
+            "offset": offset,
+        }
+
+    def media_span(ref: str, offset: int) -> dict:
+        return {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
+
+    def render_media(ref: str, ws: list[str]) -> dict | None:
+        if not with_media:
+            return None
+        height = ((len(ws) * 64 + 31) // 32) * 32
+        width = ((max(len(w) for w in ws) * 24 + 48 + 31) // 32) * 32
+        page, _gt = render_page(
+            [(w, 16 + i * 64, 16) for i, w in enumerate(ws)], height, width
+        )
+        return {
+            "media_ref": ref,
             "image": encode_png(page),
             "width": width,
             "height": height,
         }
-    ]
+
+    media: list[dict] = []
+    if m == 0:  # classic text + PDF media (text-layer parse path)
+        ref = f"pdf_{d:08d}_01"
+        spans = [text_span(text, 0), media_span(ref, 1)]
+        if with_media:
+            from ..functions.pdf_text import make_simple_pdf
+
+            media.append(
+                {
+                    "media_ref": ref,
+                    "image": make_simple_pdf([wtext]),
+                    "width": 0,
+                    "height": 0,
+                }
+            )
+    elif m == 1:  # classic text + image media
+        ref = f"img_{d:08d}_01"
+        spans = [text_span(text, 0), media_span(ref, 1)]
+        mm = render_media(ref, words)
+        if mm:
+            media.append(mm)
+    elif m == 2:  # 3 spans, listed out of offset order, offsets 0/2/4
+        ref = f"img_{d:08d}_01"
+        spans = [media_span(ref, 4), text_span(wtext, 2), text_span(text, 0)]
+        mm = render_media(ref, words)
+        if mm:
+            media.append(mm)
+    elif m == 3:  # two media spans around a text span (offsets 1/3/5)
+        ref1, ref2 = f"img_{d:08d}_01", f"img_{d:08d}_02"
+        spans = [media_span(ref1, 1), text_span(text, 3), media_span(ref2, 5)]
+        for mm in (render_media(ref1, words), render_media(ref2, words[:1])):
+            if mm:
+                media.append(mm)
+    elif m == 4:  # SHARED media_ref: reuse doc d-3's image (d-3 % 8 == 1)
+        spans = [text_span(text, 0), media_span(f"img_{d - 3:08d}_01", 1)]
+    elif m == 5:  # empty document: no spans at all
+        spans = []
+    elif m == 6:
+        if d % 16 == 6:  # media-only document
+            ref = f"img_{d:08d}_01"
+            spans = [media_span(ref, 2)]
+            mm = render_media(ref, words)
+            if mm:
+                media.append(mm)
+        else:  # ref absent from the media table -> decode-skip ('')
+            spans = [media_span(f"missing_{d:08d}", 2)]
+    else:  # m == 7: two text spans, listed reversed (offsets 7/3)
+        spans = [text_span(wtext, 7), text_span(text, 3)]
     return [{"doc_id": did, "spans": spans}], media
 
 

@@ -45,27 +45,71 @@ OUT_SPAN_TYPE = (
 
 # Full end-to-end DuckDB oracle for the flagship over the derived corpus
 # (driver gate). Valid because every stage is exact on this corpus:
-#   - text span: extract_main_text(wrapper.format(text)) == text for all
-#     three boilerplate wrappers (anchors/nav/footer/script stripped, body
+#   - text span: extract_main_text(wrapper.format(inner)) == inner for all
+#     three boilerplate wrappers (anchors/nav/footer/script stripped, inner
 #     text already single-space-normalized by the generator),
-#   - media span: OCR of the rendered page returns exactly the first <=3
-#     charset-safe tokens (generator geometry honors kernels/det.py
-#     invariants; rec is exact on the glyph font — ocr_eval_selftest = 1.0),
+#   - media span: OCR of the rendered page returns exactly the rendered
+#     words (generator geometry honors kernels/det.py invariants; rec is
+#     exact on the glyph font — ocr_eval_selftest = 1.0); PDF media return
+#     their text layer verbatim; refs absent from the media table return ''
+#     (decode-skip),
 #   - serialization: Spark to_json omits null fields, so a text span is
 #     {"kind","text","order"} and a media span adds "media_ref"; document
-#     text is lowercase [a-z ]+ so no JSON escaping is needed.
-# Any kernel regression (det miss, rec error, drop-score misfire, ordering
-# bug) breaks the hash — this is a real end-to-end check, not a tautology.
+#     text is lowercase [a-z0-9 ]+ so no JSON escaping is needed.
+# Round 3: the corpus has EIGHT span shapes keyed on doc_id % 8
+# (data/derive_corpus.py module docstring) — variable span counts,
+# interleaved/non-contiguous offsets (output order = offset RANK, not the
+# offset value), out-of-order span listings, shared media_refs (m=4 reads
+# doc d-3's image: the self-join below), missing media (text ''), and empty
+# documents ('[]'). Any kernel or reassembly regression (det miss, rec
+# error, drop-score misfire, ordering bug, shared-media fan-out, empty-doc
+# loss) breaks the hash — a real end-to-end check, not a tautology.
 EXTRACT_ORACLE_SQL = """
-SELECT printf('doc_%08d', doc_id) AS doc_id,
-  '[{"kind":"text","text":"' || text || '","order":0},{"kind":"media","text":"'
-  || coalesce(nullif(array_to_string(
-       (list_filter(string_split(text,' '),
-                    w -> len(w) BETWEEN 2 AND 7 AND regexp_matches(w,'^[0-9a-z]+$'))
-       )[1:3], ' '), ''), 'empty')
-  || '","media_ref":"' || (CASE WHEN doc_id % 4 = 0 THEN 'pdf_' ELSE 'img_' END)
-  || printf('%08d', doc_id) || '_01","order":1}]' AS out_spans_json
-FROM documents
+WITH ww AS (
+  SELECT doc_id, text,
+    coalesce(nullif(array_to_string(
+      (list_filter(string_split(text,' '),
+           w -> len(w) BETWEEN 2 AND 7 AND regexp_matches(w,'^[0-9a-z]+$'))
+      )[1:3], ' '), ''), 'empty') AS mt
+  FROM documents
+)
+SELECT printf('doc_%08d', d.doc_id) AS doc_id,
+  CASE
+    WHEN d.doc_id % 8 = 0 THEN
+      '[{"kind":"text","text":"' || d.text || '","order":0},'
+      || '{"kind":"media","text":"' || d.mt || '","media_ref":"pdf_'
+      || printf('%08d', d.doc_id) || '_01","order":1}]'
+    WHEN d.doc_id % 8 = 1 THEN
+      '[{"kind":"text","text":"' || d.text || '","order":0},'
+      || '{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":1}]'
+    WHEN d.doc_id % 8 = 2 THEN
+      '[{"kind":"text","text":"' || d.text || '","order":0},'
+      || '{"kind":"text","text":"' || d.mt || '","order":1},'
+      || '{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":2}]'
+    WHEN d.doc_id % 8 = 3 THEN
+      '[{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":0},'
+      || '{"kind":"text","text":"' || d.text || '","order":1},'
+      || '{"kind":"media","text":"' || string_split(d.mt, ' ')[1]
+      || '","media_ref":"img_' || printf('%08d', d.doc_id) || '_02","order":2}]'
+    WHEN d.doc_id % 8 = 4 THEN
+      '[{"kind":"text","text":"' || d.text || '","order":0},'
+      || '{"kind":"media","text":"' || r.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id - 3) || '_01","order":1}]'
+    WHEN d.doc_id % 8 = 5 THEN '[]'
+    WHEN d.doc_id % 16 = 6 THEN
+      '[{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":0}]'
+    WHEN d.doc_id % 16 = 14 THEN
+      '[{"kind":"media","text":"","media_ref":"missing_'
+      || printf('%08d', d.doc_id) || '","order":0}]'
+    ELSE
+      '[{"kind":"text","text":"' || d.text || '","order":0},'
+      || '{"kind":"text","text":"' || d.mt || '","order":1}]'
+  END AS out_spans_json
+FROM ww d LEFT JOIN ww r ON r.doc_id = d.doc_id - 3
 """
 
 

@@ -93,9 +93,19 @@ def test_extract_oracle_assumptions_hold_at_sf01():
         ORDER BY doc_id
         """
     ).fetchall()
+    # EXTRACT_ORACLE_SQL's m=4 branch self-joins on doc_id - 3: every shared
+    # ref must resolve, which requires contiguous doc_ids starting at 0
+    ids = sorted(did for did, _ in docs)
+    assert ids == list(range(len(ids))), "doc_ids must be contiguous from 0"
     for (did, text), (_, mt) in zip(docs, predicted):
         wrapper = _WRAPPERS[int(did) % len(_WRAPPERS)]
         assert extract_main_text(wrapper.format(text)) == text, did
+        # m=2/7 wrap the words string in boilerplate too — strip must be an
+        # identity on it as well
+        assert extract_main_text(wrapper.format(mt)) == mt, did
         assert " ".join(media_words_for(text)) == mt, did
+        # m=3's second media renders words[:1]; the SQL predicts it as the
+        # first token of mt
+        assert media_words_for(text)[0] == mt.split(" ")[0], did
         # JSON-safety of the oracle's string concatenation
         assert '"' not in text and "\\" not in text, did

@@ -9,7 +9,9 @@ from mindocr_spark.oracle.pipeline import extract_documents_oracle
 from mindocr_spark.plans.extract import extract
 
 SF_DIR = "/root/testdata/sf0.001"
-N_DOCS = 15
+# 3 full shape cycles (doc_id % 8) including both % 16 subshapes of m=6
+# (media-only doc 6+22, missing-media doc 14) and shared-media docs 4/12/20
+N_DOCS = 24
 
 
 @pytest.fixture(scope="module")
@@ -21,13 +23,39 @@ def docs_pdf():
     )
 
 
-def test_derived_extraction_matches_oracle(spark, docs_pdf):
+def test_corpus_covers_every_shape(docs_pdf):
+    """The head(24) slice exercises all 9 derived shapes (8 classes + the
+    m=6 missing-media subclass): multi-span, interleaved offsets, shared
+    media_refs, empty docs, media-only docs, missing media."""
+    spans_pdf, media_pdf = derive_corpus_pandas(docs_pdf)
+    by_doc = dict(zip(spans_pdf["doc_id"], spans_pdf["spans"]))
+    media_refs = set(media_pdf["media_ref"])
+    assert by_doc["doc_00000005"] == []  # empty doc
+    assert [s["offset"] for s in by_doc["doc_00000002"]] == [4, 2, 0]  # unsorted
+    assert sum(s["kind"] == "media" for s in by_doc["doc_00000003"]) == 2
+    shared = [s for s in by_doc["doc_00000004"] if s["kind"] == "media"]
+    assert shared[0]["media_ref"] == "img_00000001_01"  # doc 1's image
+    assert shared[0]["media_ref"] in media_refs
+    missing = [s for s in by_doc["doc_00000014"] if s["kind"] == "media"]
+    assert missing[0]["media_ref"] not in media_refs  # decode-skip path
+    assert [s["kind"] for s in by_doc["doc_00000006"]] == ["media"]
+    assert [s["kind"] for s in by_doc["doc_00000007"]] == ["text", "text"]
+
+
+@pytest.mark.parametrize(
+    ("mode", "salt"), [("fused", 0), ("exploded", 0), ("fused", 3), ("exploded", 3)]
+)
+def test_derived_extraction_matches_oracle(spark, docs_pdf, mode, salt):
     spans_pdf, media_pdf = derive_corpus_pandas(docs_pdf)
     want = extract_documents_oracle(spans_pdf, media_pdf)
 
     docs = spark.createDataFrame(docs_pdf)
     spans, media = derive_from_docs(docs)
-    rows = extract(spark, spans, media, mode="fused").orderBy("doc_id").collect()
+    rows = (
+        extract(spark, spans, media, mode=mode, salt_buckets=salt)
+        .orderBy("doc_id")
+        .collect()
+    )
     assert len(rows) == len(want)
     for row, (_, orow) in zip(rows, want.iterrows()):
         got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["out_spans"]]

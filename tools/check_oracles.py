@@ -30,7 +30,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             return f"{v:.6g}"
         return str(v)
 
-    out = df.applymap(canon)
+    out = df.map(canon)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 

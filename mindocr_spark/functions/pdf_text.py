@@ -17,8 +17,11 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n)", re.S)
+_STREAM_ANCHOR_RE = re.compile(rb">>\s*stream(?:\r\n|\n)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# '/Length 12 0 R' is an indirect reference to another object, not a byte
+# count — the digits after the keyword are the OBJECT NUMBER
+_INDIRECT_RE = re.compile(rb"\s+\d+\s+R\b")
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
 # (string) Tj   |   [(a) -120 (b)] TJ
 _TJ_RE = re.compile(rb"\((?:\\.|[^\\()])*\)\s*Tj|\[(?:[^\]])*\]\s*TJ")
@@ -55,25 +58,60 @@ def _unescape(lit: bytes) -> bytes:
     return bytes(out)
 
 
+def _dict_before(data: bytes, close_end: int) -> bytes:
+    """The balanced ``<<...>>`` dict whose closing ``>>`` ends at
+    ``close_end`` — nested dicts (``/DecodeParms <<...>>``) stay inside, so
+    ``/Filter``/``/Length`` of the stream's own dict are never lost (a
+    non-greedy ``<<(.*?)>>`` regex or an rsplit on ``<<`` would cut at the
+    innermost nested dict instead)."""
+    depth = 0
+    i = close_end
+    while i >= 2:
+        two = data[i - 2 : i]
+        if two == b">>":
+            depth += 1
+            i -= 2
+        elif two == b"<<":
+            depth -= 1
+            i -= 2
+            if depth == 0:
+                return data[i:close_end]
+        else:
+            i -= 1
+    return b""
+
+
 def extract_pdf_text(data: bytes) -> str:
     """PDF bytes -> text (chunks joined by single spaces, normalized)."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF")
     pieces: list[str] = []
-    for m in _STREAM_RE.finditer(data):
-        # the regex's dict group can span back across earlier objects (non-
-        # greedy from the first '<<'); the stream's own dict is the last one
-        meta = m.group(1).rsplit(b"<<", 1)[-1]
+    pos = 0
+    while True:
+        m = _STREAM_ANCHOR_RE.search(data, pos)
+        if m is None:
+            break
+        meta = _dict_before(data, m.start() + 2)
         start = m.end()
+        body = None
+        raw_end = start
         lm = _LENGTH_RE.search(meta)
-        if lm:
-            # per-spec: /Length is the exact byte count — never infer the
-            # stream end from an EOL scan (deflate bytes can end in 0x0d,
-            # which an `\r?\nendstream` delimiter regex would swallow)
-            body = data[start : start + int(lm.group(1))]
-        else:
+        if lm is not None and not _INDIRECT_RE.match(meta, lm.end()):
+            # per-spec: a DIRECT /Length is the exact byte count — never
+            # infer the stream end from an EOL scan (deflate bytes can end
+            # in 0x0d, which an `\r?\nendstream` delimiter regex would
+            # swallow). Trust it only if 'endstream' actually follows.
+            length = int(lm.group(1))
+            if re.match(rb"\s*endstream", data[start + length :]):
+                body = data[start : start + length]
+                raw_end = start + length
+        if body is None:
+            # indirect /Length (object reference — resolving it needs xref
+            # chasing, out of scope) or a length that doesn't land on
+            # 'endstream': fall back to the delimiter scan
             end = data.find(b"endstream", start)
             if end == -1:
+                pos = start
                 continue
             body = data[start:end]
             # strip exactly one EOL belonging to the endstream delimiter
@@ -81,6 +119,10 @@ def extract_pdf_text(data: bytes) -> str:
                 body = body[:-2]
             elif body.endswith(b"\n") or body.endswith(b"\r"):
                 body = body[:-1]
+            raw_end = end
+        # advance past the consumed body so '<<...>>stream' byte patterns
+        # INSIDE an uncompressed body can't spawn phantom streams
+        pos = raw_end
         if b"FlateDecode" in meta:
             try:
                 body = zlib.decompress(body)

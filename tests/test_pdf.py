@@ -85,3 +85,54 @@ def test_stream_without_length_falls_back_to_delimiter_scan():
     pdf = make_simple_pdf(["no length key"], compress=False)
     pdf = pdf.replace(b"/Length", b"/XLenX")  # same byte count, key unknown
     assert extract_pdf_text(pdf) == "no length key"
+
+
+def test_indirect_length_reference_falls_back():
+    """'/Length 12 0 R' is an object REFERENCE: treating 12 as a byte count
+    slices a 12-byte body and silently drops the stream (ADVICE r2). The
+    extractor must detect the '<n> <gen> R' form and use the delimiter scan
+    (common in incrementally-written PDFs)."""
+    body = zlib.compress(b"BT (indirect length) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 12 0 R >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"12 0 obj\n" + str(len(body)).encode() + b"\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "indirect length"
+
+
+def test_wrong_direct_length_falls_back():
+    """A direct /Length that does not land on 'endstream' (corrupt or
+    post-edit stale) must not truncate the body."""
+    body = zlib.compress(b"BT (stale length) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 3 >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "stale length"
+
+
+def test_nested_dict_keeps_filter_and_length():
+    """A stream dict containing a nested dict (/DecodeParms <<...>>) must
+    keep its own /Filter and /Length — an rsplit on '<<' loses both and the
+    deflate body is then scanned as raw bytes (ADVICE r2)."""
+    body = zlib.compress(b"BT (nested dict) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode "
+        b"/DecodeParms << /Foo 12 >> /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "nested dict"
+
+
+def test_stream_lookalike_inside_uncompressed_body_is_not_a_stream():
+    """'<<...>>stream' byte patterns INSIDE a body must not spawn phantom
+    streams: the scan cursor advances past each consumed body."""
+    inner = b"BT (real text) Tj ET << /Fake 1 >>\nstream\nBT (phantom) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(inner)).encode()
+        + b" >>\nstream\n" + inner + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "real text phantom"

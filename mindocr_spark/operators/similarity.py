@@ -5,10 +5,11 @@
   precision with index-order folds, which both Spark and DuckDB evaluate in
   the same IEEE order; results rounded to 4dp before ranking so both
   engines rank identically.
-- ``ann_lsh_topk``: the scale path — sign-LSH bucketing on the first 6
-  coordinates (deterministic hyperplanes), then exact rerank within the
-  bucket. At 10^12 rows the bucket column is the shuffle/partition key and
-  the query set is broadcast.
+- ``ann_lsh_topk``: the scale path — sign-LSH bucketing on the first
+  ``nbits`` coordinates (deterministic hyperplanes; nbits derived from
+  corpus size so buckets stay ~TARGET_BUCKET rows), then exact rerank
+  within the bucket. At 10^12 rows the bucket column is the shuffle/
+  partition key and the query set is broadcast.
 """
 
 from __future__ import annotations
@@ -18,7 +19,31 @@ from pyspark.sql import functions as F
 
 N_QUERIES = 20
 TOP_K = 3
-LSH_DIMS = 6
+# ann_lsh_topk / embedding_near_dup_lsh bucket width is DERIVED from corpus
+# size (round 3): bits = clamp(ceil(log2(N / TARGET_BUCKET)), MIN, MAX), so
+# the expected bucket size stays ~TARGET_BUCKET as the corpus grows and
+# per-bucket work is bounded by a constant, never by corpus size. The same
+# formula is evaluated from count(*) inside the oracle SQL, so Spark and
+# DuckDB always agree on the bucket layout at any sf.
+TARGET_BUCKET = 32
+MIN_TABLE_BITS = 3
+MAX_TABLE_BITS = 10  # 6 tables x 10 bits = 60 <= 64 distinct paired-diff planes
+
+
+def _derived_bits(n: int) -> int:
+    """clamp(ceil(log2(n / TARGET_BUCKET)), MIN, MAX) — IEEE-double log2,
+    matching the SQL's ceil(log2(count(*) / 32.0)) bit-for-bit."""
+    import math
+
+    if n <= 0:
+        return MIN_TABLE_BITS
+    raw = math.ceil(math.log2(n / float(TARGET_BUCKET)))
+    return min(MAX_TABLE_BITS, max(MIN_TABLE_BITS, raw))
+
+
+_DERIVED_BITS_DUCK = (
+    "least({mx}, greatest({mn}, cast(ceil(log2(count(*) / {tb}.0)) as int)))"
+).format(mx=MAX_TABLE_BITS, mn=MIN_TABLE_BITS, tb=TARGET_BUCKET)
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
@@ -93,11 +118,18 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: sign-LSH on first 6 dims, exact top-1 within bucket."""
+    """Bucketed ANN: sign-LSH on the first ``nbits`` dims (nbits derived
+    from corpus size so buckets stay ~TARGET_BUCKET rows), exact top-1
+    within bucket.
+
+    The driver-side ``count()`` is a parquet metadata read (row-group
+    counts), not a scan; at warehouse scale substitute catalog statistics or
+    a cached approximate count — only the derived integer enters the plan."""
+    nbits = _derived_bits(_emb(spark, sf_dir).count())
     bucket = F.expr(
         "aggregate(sequence(0, %d), 0, (acc, i) -> "
         "acc + shiftleft(case when element_at(embedding, i + 1) >= 0F then 1 else 0 end, i))"
-        % (LSH_DIMS - 1)
+        % (nbits - 1)
     )
     emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", bucket)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -131,12 +163,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_LSH_SQL = f"""
-WITH e AS (
+WITH params AS (SELECT {_DERIVED_BITS_DUCK} AS nb FROM embeddings),
+e AS (
   SELECT vec_id, embedding,
          sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm,
-         list_sum([CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END
-                   for i in range(1, {LSH_DIMS + 1})]) AS bucket
-  FROM embeddings
+         list_sum([CASE WHEN i <= nb AND embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END
+                   for i in range(1, {MAX_TABLE_BITS + 1})]) AS bucket
+  FROM embeddings CROSS JOIN params
 ),
 sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -294,58 +327,80 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_LSH_TABLES = 6
-LSH_TABLE_BITS = 3
+# Table count is DERIVED from the bit count to hold the recall target at
+# the operator's threshold (classic LSH cost model: collision prob per bit
+# p = 1 - acos(thr)/pi; per-table p^bits; L tables give 1-(1-p^bits)^L).
+# As bits grow with corpus size, tables must grow to keep recall — this is
+# the textbook N^rho trade-off, made explicit instead of silently decaying.
+# The mapping is materialized as an INTEGER lookup shared verbatim with the
+# oracle SQL (a CASE over nb), so engine float/libm differences in
+# acos/ln/pow can never desynchronize the two sides.
+MIN_LSH_TABLES = 6
+MAX_LSH_TABLES = 24  # plane supply + cost ceiling; past it recall decays
+_LSH_RECALL_TARGET = 0.8
+
+
+def _tables_for_bits(bits: int) -> int:
+    import math
+
+    p_bit = 1.0 - math.acos(NEAR_DUP_COS) / math.pi
+    p_table = p_bit**bits
+    ln_miss = math.log(1.0 - _LSH_RECALL_TARGET)
+    tables = math.ceil(ln_miss / math.log(1.0 - p_table))
+    return min(MAX_LSH_TABLES, max(MIN_LSH_TABLES, tables))
+
+
+_TABLES_BY_BITS = {
+    b: _tables_for_bits(b) for b in range(MIN_TABLE_BITS, MAX_TABLE_BITS + 1)
+}  # {3: 6, 4: 9, 5: 14, 6: 21, 7+: 24} at threshold 0.45 / recall 0.8
 
 
 def _lsh_pair_dims(t: int, k: int) -> tuple[int, int]:
     """0-based dims of the paired-difference hyperplane for (table, bit):
     sign(e[i] - e[j]). Paired differences are mean-free by construction, so
     they split the corpus evenly even when raw coordinates are biased
-    (coordinate-sign LSH degrades badly on non-centered embeddings)."""
-    i = (t * LSH_TABLE_BITS + k) % 64
-    return i, (i + 32) % 64
+    (coordinate-sign LSH degrades badly on non-centered embeddings).
+
+    Indexed by MAX_TABLE_BITS (not the derived bit count) so plane (t, k)
+    is stable as the corpus grows. Strides are odd and far apart (31, 29,
+    27, ...) so all 24 x 10 = 240 planes are pairwise distinct AND no two
+    are sign-flips of each other (stride 32 would make (i, i+32) and
+    (i+32, i) complementary bits — correlated, wasted)."""
+    idx = t * MAX_TABLE_BITS + k
+    stride = 31 - 2 * (idx // 64)
+    i = idx % 64
+    return i, (i + stride) % 64
 
 
-def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production embedding near-dup: multi-table sign-LSH candidate
-    generation, exact cosine check on candidates only. No crossJoin.
-
-    6 hash tables x 3 bits; bit k of table t is the sign of a fixed
-    paired-coordinate difference (deterministic hyperplane, identical in
-    both engines via double-cast subtraction). Candidates = pairs sharing
-    any table bucket (equi-join on (table, bucket), distinct), then the
-    exact cosine >= threshold filter after a join-back by id — embeddings
-    are never carried through the table explode.
-
-    Recall is the LSH trade-off: measured 12/14 (86%) of the exact pairs at
-    sf0.01 — inherently bounded because the synthetic threshold 0.45 means
-    ~63 deg angles (random-hyperplane collision prob 0.65/bit). At a real
-    near-dup threshold (cos >= 0.9, ~26 deg) the same construction gives
-    ~0.86/bit and recall >97% with these parameters. At 100 TB the knob is
-    bits-per-table: bucket count should grow with N (16-24 bits) so bucket
-    sizes stay bounded; tables add recall linearly in cost. The oracle SQL
-    mirrors the same prefilter, so the gate checks the operator's actual
-    contract, not the quadratic ideal (which tests/ compare against).
-    """
-    emb = _with_norm(_emb(spark, sf_dir))
-    tab_exprs = []
-    for t in range(N_LSH_TABLES):
-        bits = []
-        for k in range(LSH_TABLE_BITS):
-            i, j = _lsh_pair_dims(t, k)
-            bits.append(
-                f"shiftleft(case when cast(element_at(embedding, {i + 1}) as double)"
-                f" - cast(element_at(embedding, {j + 1}) as double) >= 0D"
-                f" then 1 else 0 end, {k})"
-            )
-        tab_exprs.append(
-            F.struct(
-                F.lit(t).alias("t"), F.expr(" + ".join(bits)).alias("bkt")
-            )
-        )
+def _lsh_candidates(emb: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs sharing any (table, bucket), distinct.
+    Split out of :func:`embedding_near_dup_lsh` so the volume test in
+    tests/test_dedup_banded.py can assert candidate count scales ~linearly
+    (x tables) with corpus size rather than quadratically."""
+    nbits = _derived_bits(emb.count())
+    ntables = _TABLES_BY_BITS[nbits]
+    # one compact higher-order expression computes every (table, bucket)
+    # pair, with the plane dims derived arithmetically (== _lsh_pair_dims):
+    # unrolling ntables x nbits literal CASE terms blows whole-stage
+    # codegen's 64KB method limit at 21x6 and silently falls back to
+    # interpreted mode — the HOF form stays small at any derived size.
+    idx = f"(t * {MAX_TABLE_BITS} + k)"
+    i_e = f"pmod({idx}, 64)"
+    j_e = f"cast(pmod({i_e} + 31 - 2 * ({idx} div 64), 64) as int)"
+    bit = (
+        f"shiftleft(case when cast(element_at(embedding, {i_e} + 1) as double)"
+        f" - cast(element_at(embedding, {j_e} + 1) as double) >= 0D"
+        f" then 1 else 0 end, k)"
+    )
     tabs = emb.select(
-        "vec_id", "embedding", "norm", F.explode(F.array(*tab_exprs)).alias("tb")
+        "vec_id",
+        "embedding",
+        "norm",
+        F.expr(
+            f"explode(transform(sequence(0, {ntables - 1}), t -> struct("
+            f"t as t, aggregate(sequence(0, {nbits - 1}), 0, "
+            f"(acc, k) -> acc + {bit}) as bkt)))"
+        ).alias("tb"),
     ).select("vec_id", "embedding", "norm", "tb.t", "tb.bkt")
 
     # per-bucket vectorized prefilter: one numpy matmul per (table, bucket)
@@ -356,7 +411,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-to-4dp inclusion band (round(cos,4) >= thr admits cos >=
     # thr - 5e-5) and summation-order drift (~1e-10), so no qualifying pair
     # can be lost; false admits are removed by the exact engine-parity fold
-    # below, which alone determines the reported `cos`.
+    # in the caller, which alone determines the reported `cos`.
     def _bucket_pairs(pdf):
         import numpy as np
         import pandas as pd
@@ -367,15 +422,59 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()[order]
         v = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         nrm = pdf["norm"].to_numpy()[order]
-        cos = (v @ v.T) / np.outer(nrm, nrm)
-        ia, ib = np.nonzero(np.triu(cos >= NEAR_DUP_COS - 5.1e-5, k=1))
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        # chunk the row dimension so peak memory is CHUNK x |bucket| doubles
+        # even when a bucket is pathologically hot (skewed corpora)
+        chunk = 2048
+        out_a, out_b = [], []
+        for s in range(0, len(ids), chunk):
+            blk = (v[s : s + chunk] @ v.T) / np.outer(nrm[s : s + chunk], nrm)
+            ia, ib = np.nonzero(blk >= NEAR_DUP_COS - 5.1e-5)
+            ia = ia + s
+            keep = ia < ib  # upper triangle only
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
 
-    cand = (
+    return (
         tabs.groupBy("t", "bkt")
         .applyInPandas(_bucket_pairs, "doc_a long, doc_b long")
         .distinct()
     )
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production embedding near-dup: multi-table sign-LSH candidate
+    generation, exact cosine check on candidates only. No crossJoin.
+
+    L hash tables x nbits (both derived, see below); bit k of table t is the sign of a fixed
+    paired-coordinate difference (deterministic hyperplane, identical in
+    both engines via double-cast subtraction). Candidates = pairs sharing
+    any table bucket (equi-join on (table, bucket), distinct), then the
+    exact cosine >= threshold filter after a join-back by id — embeddings
+    are never carried through the table explode.
+
+    Bits-per-table is DERIVED from corpus size (round 3, replacing the
+    fixed 3-bit tables): bits = clamp(ceil(log2(N / 32)), 3, 10), so the
+    expected bucket holds ~32 rows and total candidate volume is
+    ~N * 32/2 * 6 tables = O(N) — the volume test in
+    tests/test_dedup_banded.py asserts ~linear growth between sfs. The
+    oracle SQL computes the identical formula from count(*), so both
+    engines always agree on the layout. Recall is the LSH trade-off:
+    inherently bounded here because the synthetic threshold 0.45 means
+    ~63 deg angles (random-hyperplane collision prob 0.65/bit); at a real
+    near-dup threshold (cos >= 0.9, ~26 deg) the same construction gives
+    ~0.86/bit and recall >97% at 4-5 bits. Past 10 bits/table the 64-dim
+    paired-difference plane supply is exhausted (60 distinct planes);
+    beyond that a real deployment switches to seeded random-projection
+    hyperplanes (unbounded supply, same bucket-join shape) and keeps this
+    operator's plan. The oracle SQL mirrors the same prefilter, so the
+    gate checks the operator's actual contract, not the quadratic ideal
+    (which tests/ compare against).
+    """
+    emb = _with_norm(_emb(spark, sf_dir))
+    cand = _lsh_candidates(emb)
     ea = emb.select(
         F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
@@ -399,24 +498,36 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bucket_duck(t: int) -> str:
+    """Bucket expression with every potential bit masked by the derived bit
+    count ``nb`` (CTE ``params``) — mirrors the Spark side, which bakes the
+    same derived count as a literal."""
     bits = []
-    for k in range(LSH_TABLE_BITS):
+    for k in range(MAX_TABLE_BITS):
         i, j = _lsh_pair_dims(t, k)
         bits.append(
-            f"(CASE WHEN cast(embedding[{i + 1}] as double)"
+            f"(CASE WHEN {k} < nb AND cast(embedding[{i + 1}] as double)"
             f" - cast(embedding[{j + 1}] as double) >= 0 THEN {1 << k} ELSE 0 END)"
         )
     return " + ".join(bits)
 
 
+_NTABLES_CASE_DUCK = "CASE nb " + " ".join(
+    f"WHEN {b} THEN {_TABLES_BY_BITS[b]}"
+    for b in range(MIN_TABLE_BITS, MAX_TABLE_BITS + 1)
+) + " END"
+
 EMBEDDING_NEAR_DUP_LSH_SQL = f"""
-WITH e AS (
+WITH params AS (
+  SELECT nb, {_NTABLES_CASE_DUCK} AS ntab
+  FROM (SELECT {_DERIVED_BITS_DUCK} AS nb FROM embeddings)
+),
+e AS (
   SELECT vec_id, embedding,
          sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
 ),
 tabs AS (
-  {" UNION ALL ".join(f"SELECT vec_id, {t} AS t, {_lsh_bucket_duck(t)} AS bkt FROM e" for t in range(N_LSH_TABLES))}
+  {" UNION ALL ".join(f"SELECT vec_id, {t} AS t, {_lsh_bucket_duck(t)} AS bkt FROM e CROSS JOIN params WHERE {t} < ntab" for t in range(MAX_LSH_TABLES))}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b

@@ -149,6 +149,47 @@ def _ocr_eval_selftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det.crossJoin(e2e)
 
 
+def _tensor_stage_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-input tensor chain (rec_resize -> normalize -> to_chw -> gear_pad,
+    SURVEY §2.2/§2.10) driven end-to-end over the derived media table,
+    reduced to integer checksums per crop: dims, valid width, truncation
+    flag, and xxhash64 of the exact float32 tensor bytes. Any numeric or
+    layout regression in the tensor stages changes the hash column. No
+    DuckDB oracle (the tensors come from the OCR crop path); rows-only."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.registry import build_pipeline
+
+    _, media = derive_corpus(spark, sf_dir)
+    crops_in = media.select(
+        F.col("media_ref").alias("doc_id"),
+        F.lit(0).alias("offset"),
+        "media_ref",
+        "image",
+    )
+    pipe = build_pipeline(
+        [
+            {"name": "det_crops"},
+            {"name": "rec_resize_tensor"},
+            {"name": "normalize_image", "mean": 127.5, "std": 127.5},
+            {"name": "to_chw"},
+            {"name": "gear_pad", "gears": [64, 128, 256, 320]},
+        ]
+    )
+    out = pipe(crops_in)
+    return out.select(
+        "media_ref",
+        "box_idx",
+        F.array_join(F.transform("dims", lambda x: x.cast("string")), "x").alias(
+            "dims_str"
+        ),
+        "valid_w",
+        "truncated",
+        F.xxhash64("tensor").alias("tensor_hash"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mindocr_spark.operators import dedup, quality, relational, similarity
 
@@ -161,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_derived": _image_meta_derived,
         "ocr_eval_selftest": _ocr_eval_selftest,
         "media_health": _media_health,
+        "tensor_stage_checksums": _tensor_stage_checksums,
         # relational skeleton (SURVEY.md §2.2-2.6)
         "pricing_summary": relational.pricing_summary,
         "order_revenue_topn": relational.order_revenue_topn,
@@ -184,12 +226,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": dedup.exact_dup_groups,
         "prefix_dup_groups": dedup.prefix_dup_groups,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        # xxhash64 hash family (JVM-intrinsic): the 100 TB production form;
+        # md5 above stays the DuckDB-parity oracle (rows-only here)
+        "minhash_lsh_pairs_fast": dedup.minhash_lsh_pairs_fast,
         "simhash_signatures": dedup.simhash_signatures,
         # NOTE round 2: the exact-quadratic forms (simhash_near_pairs,
         # ngram_jaccard_pairs, embedding_near_dup_pairs) are demoted to test
         # oracles — their crossJoin/skewed-join shapes cannot survive 100x
         # scale; the banded/filtered operators below are the production paths.
         "simhash_near_dup_banded": dedup.simhash_near_dup_banded,
+        # Manku block-combination tables (30-bit keys): the construction
+        # that survives past the banded form's 2^15 keyspace ceiling
+        "simhash_near_dup_manku": dedup.simhash_near_dup_manku,
         "ngram_jaccard_filtered": dedup.ngram_jaccard_filtered,
         "near_dup_clusters": dedup.near_dup_clusters,
         # similarity search
@@ -245,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         # banded simhash's oracle IS the quadratic form at the same
         # threshold: the band bucket-join is provably equivalent (pigeonhole)
         "simhash_near_dup_banded": dedup.SIMHASH_NEAR_DUP_BANDED_SQL,
+        "simhash_near_dup_manku": dedup.SIMHASH_NEAR_DUP_MANKU_SQL,
         "ngram_jaccard_filtered": dedup.NGRAM_JACCARD_FILTERED_SQL,
         # iterative Hash-Min CC in Spark vs a recursive CTE in DuckDB —
         # same fixpoint (min reachable doc_id per component)

@@ -104,27 +104,37 @@ def gear_pad_iter(
     zero-pad up to it (``get_matched_gear_hw`` + ``padding_to_batch``
     zero-fill). Emits ``valid_w`` so consumers can unpad; callers should
     repartition on the resulting width (= dims[-1]) to co-locate same-gear
-    tensors for contiguous batch stacking."""
+    tensors for contiguous batch stacking.
+
+    A tensor wider than the largest gear is cropped to it — the reference
+    gear path never sees this case (inputs are resized into the gear
+    envelope upstream, ``rec_resize_norm``'s width cap), so when it DOES
+    happen here it is data loss and is flagged: ``truncated = true`` lets
+    downstream consumers drop/reroute instead of silently reading a crop
+    with its trailing glyphs cut off (r2 ADVICE item)."""
     from ..functions.gear import get_matched_gear_hw, pad_to_gear
 
     hw_list = [(int(height), int(g)) for g in sorted(gears)]
     for pdf in batches:
-        tensors, dims, valid = [], [], []
+        tensors, dims, valid, trunc = [], [], [], []
         for b, d in zip(pdf["tensor"], pdf["dims"]):
             d = [int(x) for x in d]
             arr = np.frombuffer(b, dtype=np.float32).reshape(d)
             h, w = arr.shape[-2], arr.shape[-1]
             gear = get_matched_gear_hw((h, w), [g for g in hw_list if g[1] >= w] or [hw_list[-1]])
-            if gear[1] < w:  # wider than every gear: truncate like max cap
+            was_truncated = gear[1] < w
+            if was_truncated:  # wider than every gear: crop to the max cap
                 arr = arr[..., :, : gear[1]]
                 w = gear[1]
             out = pad_to_gear(arr, gear)
             tensors.append(out.tobytes())
             dims.append([int(x) for x in out.shape])
             valid.append(int(w))
+            trunc.append(bool(was_truncated))
         out_pdf = _rows(pdf, tensors, dims)
         out_pdf["valid_w"] = valid
+        out_pdf["truncated"] = trunc
         yield out_pdf
 
 
-GEAR_TENSOR_SCHEMA = CROP_TENSOR_SCHEMA + ", valid_w int"
+GEAR_TENSOR_SCHEMA = CROP_TENSOR_SCHEMA + ", valid_w int, truncated boolean"

@@ -93,4 +93,6 @@ def test_queries_oracle_keys_consistent():
         "image_meta_derived",
         "ocr_eval_selftest",
         "media_health",
+        "tensor_stage_checksums",
+        "minhash_lsh_pairs_fast",
     }

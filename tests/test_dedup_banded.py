@@ -144,9 +144,10 @@ def test_cc_star_converges_in_log_rounds_on_chain(spark):
 
 
 def test_ngram_prefix_filter_is_lossless(spark):
-    """The prefix-filtered candidate join must lose no qualifying pair:
-    compare against the direct kept-shingle self-join (the oracle's form)
-    computed by DuckDB on the same corpus."""
+    """BOTH jaccard plans (direct count-by-pair, the registered low-t
+    path; prefix-filtered + array verification, the high-t path) must
+    produce exactly the oracle's pairs at the same threshold — the prefix
+    filter may drop join rows but never a qualifying pair."""
     import duckdb
 
     con = duckdb.connect()
@@ -158,12 +159,23 @@ def test_ngram_prefix_filter_is_lossless(spark):
         (a, b, i, round(j, 4))
         for a, b, i, j in con.execute(dedup.NGRAM_JACCARD_FILTERED_SQL).fetchall()
     }
-    got = {
+    got_direct = {
         (r.doc_a, r.doc_b, r.inter, round(r.jaccard, 4))
         for r in dedup.ngram_jaccard_filtered(spark, SF).collect()
     }
-    assert got == want
-    assert len(got) > 0
+    assert got_direct == want
+    assert len(got_direct) > 0
+
+    docs = dedup._docs(spark, SF)
+    cap = dedup._shingle_cap(docs.count())
+    sh = dedup._shingles(docs)
+    freq = sh.groupBy(F.col("shingle")).agg(F.count("*").alias("df"))
+    kept = sh.join(freq.filter(F.col("df") <= cap), "shingle")
+    got_prefix = {
+        (r.doc_a, r.doc_b, r.inter, round(r.jaccard, 4))
+        for r in dedup._jaccard_prefix_verified(kept, t_pct=12).collect()
+    }
+    assert got_prefix == want
 
 
 def test_minhash_fast_equivalence(spark):

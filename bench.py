@@ -91,18 +91,15 @@ def _run_extraction_throughput(cores: int, corpus_dir: str) -> tuple[float, int]
     # warm python workers / Arrow path so the measurement is steady-state
     # throughput (what a long-running 100TB job sees), not JVM+worker spawn
     _materialize(extract(spark, spans.limit(64), media, mode="fused"))
-    best = None
-    # short runs are noisy (this sandbox spikes ~2x); long runs self-average.
-    # Both pair members that feed an efficiency ratio get best-of-3 — an
-    # inflated t8 deflates 2->8 AND inflates 8->32.
-    reps = 3 if cores >= 8 else 1
-    for _ in range(reps):  # best-of-N: scheduler/GC noise is ~15% per sample
-        t0 = time.time()
-        _materialize(extract(spark, spans, media, mode="fused"))
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+    # single timed run per session: the caller interleaves lo/hi sessions
+    # and takes the median of PAIRED ratios (see main), which both absorbs
+    # per-sample GC noise and cancels the box's minute-scale DVFS drift —
+    # best-of-N inside one session only handles the former.
+    t0 = time.time()
+    _materialize(extract(spark, spans, media, mode="fused"))
+    dt = time.time() - t0
     spark.stop()
-    return best, n
+    return dt, n
 
 
 def main() -> None:
@@ -159,34 +156,49 @@ def main() -> None:
         # (all-core clocks drop ~35% past ~8 busy cores — measured with a
         # pure-multiprocessing control, see BENCH.md), 8->32 shows the
         # saturated-box number.
-        pairs = [(2, 8), (max(cpus // 4, 1), cpus)] if cpus >= 32 else [
-            (max(cpus // 4, 1), cpus)
+        #
+        # The pair members are measured INTERLEAVED (lo, hi, lo, hi, ...)
+        # and the reported efficiency is the MEDIAN of the per-rep paired
+        # ratios: this box's thermal/DVFS state drifts on minute scales
+        # (the 8-core member alone was measured at 20-29 s across
+        # back-to-back bench invocations), so a ratio of best-of times
+        # taken minutes apart compares two different machines. Pairing
+        # adjacent-in-time runs cancels the drift; the min/max range is
+        # reported alongside so a lucky draw is visible.
+        pairs = [(2, 8, 2), (max(cpus // 4, 1), cpus, 3)] if cpus >= 32 else [
+            (max(cpus // 4, 1), cpus, 3)
         ]
         corpus_dir = _prepare_scaling_corpus(sf_dir)
-        timings: dict[int, float] = {}
-        n = 0
+        out["scaling"] = []
         try:
-            for lo, hi in pairs:
-                for c in (lo, hi):
-                    if c not in timings:
-                        timings[c], n = _run_extraction_throughput(c, corpus_dir)
+            for lo, hi, reps in pairs:
+                samples = []  # (t_lo, t_hi, efficiency) per paired rep
+                for _ in range(reps):
+                    t_lo, n = _run_extraction_throughput(lo, corpus_dir)
+                    t_hi, _ = _run_extraction_throughput(hi, corpus_dir)
+                    samples.append((t_lo, t_hi, (t_lo / t_hi) / (hi / lo)))
+                samples.sort(key=lambda s: s[2])
+                t_lo, t_hi, eff = samples[len(samples) // 2]
+                out["scaling"].append(
+                    {
+                        "cores_lo": lo,
+                        "cores_hi": hi,
+                        "sec_lo": round(t_lo, 2),
+                        "sec_hi": round(t_hi, 2),
+                        "docs": n,
+                        "docs_per_sec_lo": round(n / t_lo, 2),
+                        "docs_per_sec_hi": round(n / t_hi, 2),
+                        "efficiency": round(eff, 3),
+                        "efficiency_range": [
+                            round(samples[0][2], 3),
+                            round(samples[-1][2], 3),
+                        ],
+                    }
+                )
         finally:
             import shutil
 
             shutil.rmtree(corpus_dir, ignore_errors=True)
-        out["scaling"] = [
-            {
-                "cores_lo": lo,
-                "cores_hi": hi,
-                "sec_lo": round(timings[lo], 2),
-                "sec_hi": round(timings[hi], 2),
-                "docs": n,
-                "docs_per_sec_lo": round(n / timings[lo], 2),
-                "docs_per_sec_hi": round(n / timings[hi], 2),
-                "efficiency": round((timings[lo] / timings[hi]) / (hi / lo), 3),
-            }
-            for lo, hi in pairs
-        ]
 
     print(json.dumps(out))
 

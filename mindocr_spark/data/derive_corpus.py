@@ -209,9 +209,37 @@ def derive_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return spans, media
 
 
-def derive_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    return derive_from_docs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+# sf_dir -> materialized corpus dir. The derived corpus is a pure
+# deterministic function of the documents table, so per process it is
+# rendered ONCE to local parquet and read back: every consumer (both
+# flagships, golden/meta/health queries) then times extraction from a
+# STORED interleaved table — the north-rule shape (the job reads an
+# Iceberg table; it does not synthesize its input) — instead of paying
+# the PNG/PDF render again inside every timed query.
+_CORPUS_CACHE: dict[str, str] = {}
+
+
+def derive_corpus(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    if not materialize:
+        return derive_from_docs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    if sf_dir not in _CORPUS_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="mindocr_derived_corpus_")
+        spans, media = derive_from_docs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        spans.write.mode("overwrite").parquet(f"{out}/documents_spans.parquet")
+        media.write.mode("overwrite").parquet(f"{out}/media.parquet")
+        _CORPUS_CACHE[sf_dir] = out
+    out = _CORPUS_CACHE[sf_dir]
+    return (
+        spark.read.parquet(f"{out}/documents_spans.parquet"),
+        spark.read.parquet(f"{out}/media.parquet"),
     )
 
 

@@ -20,6 +20,7 @@ def main() -> None:
         "cosine_topk",
         "minhash_lsh_pairs",
         "sessionize_events",
+        "ngram_jaccard_filtered",
         "simhash_near_dup_banded",
         "embedding_near_dup_lsh",
     ]
@@ -27,7 +28,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    out = ["# PLANS — formatted physical plans (sf0.01, round 2)\n"]
+    out = ["# PLANS — formatted physical plans (sf0.01, round 3)\n"]
     for name in names:
         df = qs[name](spark, sf)
         plan = df._jdf.queryExecution().explainString(mode)

@@ -96,3 +96,30 @@ def test_queries_oracle_keys_consistent():
         "tensor_stage_checksums",
         "minhash_lsh_pairs_fast",
     }
+
+
+def test_derive_corpus_memoization_exact(spark):
+    """derive_corpus memoizes the rendered corpus to parquet per process;
+    the read-back tables must equal a fresh (unmemoized) derivation
+    row-for-row — a stale or lossy cache would silently decouple the
+    flagship queries from the oracle."""
+    from mindocr_spark.data import derive_corpus as dc
+
+    cached_spans, cached_media = dc.derive_corpus(spark, SF_DIR)
+    fresh_spans, fresh_media = dc.derive_corpus(spark, SF_DIR, materialize=False)
+    assert SF_DIR in dc._CORPUS_CACHE
+
+    cs = cached_spans.selectExpr("doc_id", "to_json(spans) AS s").toPandas()
+    fs = fresh_spans.selectExpr("doc_id", "to_json(spans) AS s").toPandas()
+    assert (
+        cs.sort_values("doc_id").reset_index(drop=True).equals(
+            fs.sort_values("doc_id").reset_index(drop=True)
+        )
+    )
+    cm = cached_media.toPandas().sort_values("media_ref").reset_index(drop=True)
+    fm = fresh_media.toPandas().sort_values("media_ref").reset_index(drop=True)
+    assert list(cm["media_ref"]) == list(fm["media_ref"])
+    assert all(
+        (a is None and b is None) or bytes(a) == bytes(b)
+        for a, b in zip(cm["image"], fm["image"])
+    )

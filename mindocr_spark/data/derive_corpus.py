@@ -13,11 +13,21 @@ m     shape (offsets as listed in the spans array)
 ====  =========================================================
 0     text(0) + PDF media(1)                       [classic, PDF]
 1     text(0) + image media(1)                     [classic, image]
+      d%16==9: the page renders ROTATED 180 when every word is
+      mixed-height (cls-recoverable; functions/glyphs.mixed_height)
+      -> extracted words read in reverse placement order
 2     media(4), text=words(2), text=body(0)        [3 spans, listed
       out of offset order, offsets non-contiguous]
+      d%16==10: the media is a ruled 2x2 TABLE (cells
+      [[w0,w1],[w2,w0]], '' when missing) -> table-structure path,
+      text = row-major non-empty cells = words + ' ' + w0
 3     media=words(1), text=body(3), media=word1(5) [two media spans]
+      d%16==11: media 1 carries profile='poly' (box_type='poly'
+      detection), media 2 profile='attn' (attention rec decode) —
+      same expected text through the alternate det/rec contracts
 4     text(0) + media ref of doc ``d-3``(1)        [SHARED media_ref:
-      no media row of its own; d-3 is an m=1 doc]
+      no media row of its own; d-3 is an m=1 doc — possibly the
+      d%16==9 rotated variant (when d%16==12)]
 5     (no spans)                                   [empty document]
 6     d%16==6 : media(2) only                      [media-only doc]
       d%16==14: media(2) with a ref absent from the
@@ -46,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import CHARSET
-from ..functions.glyphs import render_page
+from ..functions.glyphs import mixed_height, render_page, render_table
 from ..functions.png_codec import encode_png
 
 _CHARSET_SET = set(CHARSET)
@@ -98,19 +108,37 @@ def spans_for_doc(
     def media_span(ref: str, offset: int) -> dict:
         return {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
 
-    def render_media(ref: str, ws: list[str]) -> dict | None:
+    def render_media(
+        ref: str, ws: list[str], rotate: bool = False, profile: str | None = None
+    ) -> dict | None:
         if not with_media:
             return None
         height = ((len(ws) * 64 + 31) // 32) * 32
         width = ((max(len(w) for w in ws) * 24 + 48 + 31) // 32) * 32
         page, _gt = render_page(
-            [(w, 16 + i * 64, 16) for i, w in enumerate(ws)], height, width
+            [(w, 16 + i * 64, 16) for i, w in enumerate(ws)],
+            height,
+            width,
+            rotate180=rotate,
         )
         return {
             "media_ref": ref,
             "image": encode_png(page),
             "width": width,
             "height": height,
+            "profile": profile,
+        }
+
+    def render_table_media(ref: str, cells: list[list[str]]) -> dict | None:
+        if not with_media:
+            return None
+        img, _gt = render_table(cells)
+        return {
+            "media_ref": ref,
+            "image": encode_png(img),
+            "width": img.shape[1],
+            "height": img.shape[0],
+            "profile": None,
         }
 
     media: list[dict] = []
@@ -126,24 +154,42 @@ def spans_for_doc(
                     "image": make_simple_pdf([wtext]),
                     "width": 0,
                     "height": 0,
+                    "profile": None,
                 }
             )
-    elif m == 1:  # classic text + image media
+    elif m == 1:  # classic text + image media; d%16==9 renders ROTATED 180
+        # (only when every word is mixed-height — the generator invariant
+        # that keeps the cls stage decisive; otherwise upright as usual)
         ref = f"img_{d:08d}_01"
         spans = [text_span(text, 0), media_span(ref, 1)]
-        mm = render_media(ref, words)
+        rot = d % 16 == 9 and all(mixed_height(w) for w in words)
+        mm = render_media(ref, words, rotate=rot)
         if mm:
             media.append(mm)
-    elif m == 2:  # 3 spans, listed out of offset order, offsets 0/2/4
+    elif m == 2:  # 3 spans, listed out of offset order, offsets 0/2/4;
+        # d%16==10 renders the media as a ruled 2x2 TABLE instead of a page
         ref = f"img_{d:08d}_01"
         spans = [media_span(ref, 4), text_span(wtext, 2), text_span(text, 0)]
-        mm = render_media(ref, words)
+        if d % 16 == 10:
+            cells = [
+                [words[0], words[1] if len(words) > 1 else ""],
+                [words[2] if len(words) > 2 else "", words[0]],
+            ]
+            mm = render_table_media(ref, cells)
+        else:
+            mm = render_media(ref, words)
         if mm:
             media.append(mm)
-    elif m == 3:  # two media spans around a text span (offsets 1/3/5)
+    elif m == 3:  # two media spans around a text span (offsets 1/3/5);
+        # d%16==11 routes media 1 through poly-mode detection and media 2
+        # through the attention rec decoder (per-item profile metadata)
         ref1, ref2 = f"img_{d:08d}_01", f"img_{d:08d}_02"
         spans = [media_span(ref1, 1), text_span(text, 3), media_span(ref2, 5)]
-        for mm in (render_media(ref1, words), render_media(ref2, words[:1])):
+        p1, p2 = ("poly", "attn") if d % 16 == 11 else (None, None)
+        for mm in (
+            render_media(ref1, words, profile=p1),
+            render_media(ref2, words[:1], profile=p2),
+        ):
             if mm:
                 media.append(mm)
     elif m == 4:  # SHARED media_ref: reuse doc d-3's image (d-3 % 8 == 1)
@@ -168,7 +214,9 @@ _SPANS_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,"
     "media_ref:string,offset:int>>"
 )
-_MEDIA_SCHEMA = "media_ref string, image binary, width int, height int"
+_MEDIA_SCHEMA = (
+    "media_ref string, image binary, width int, height int, profile string"
+)
 
 
 def _gen_spans_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,7 +243,9 @@ def _gen_media_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             _, mrows = spans_for_doc(int(doc_id), text)
             rows.extend(mrows)
-        yield pd.DataFrame(rows, columns=["media_ref", "image", "width", "height"])
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "image", "width", "height", "profile"]
+        )
 
 
 def derive_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -253,5 +303,8 @@ def derive_corpus_pandas(docs_pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataF
         media_rows.extend(mrows)
     return (
         pd.DataFrame(span_rows, columns=["doc_id", "spans"]),
-        pd.DataFrame(media_rows, columns=["media_ref", "image", "width", "height"]),
+        pd.DataFrame(
+            media_rows,
+            columns=["media_ref", "image", "width", "height", "profile"],
+        ),
     )

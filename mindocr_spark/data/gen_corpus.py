@@ -24,22 +24,10 @@ import json
 import numpy as np
 import pandas as pd
 
-from ..functions.glyphs import glyph_bitmap, render_page
+from ..functions.glyphs import mixed_height as _mixed_height
+from ..functions.glyphs import render_page
 from ..functions.pdf_text import make_simple_pdf
 from ..functions.png_codec import encode_png
-
-
-def _mixed_height(word: str) -> bool:
-    """True when the word mixes tall (ascender/digit) and x-height glyphs —
-    the cls stage's baseline-alignment evidence is then decisive, so a
-    180-degree rotation is always recoverable. All-x-height words (e.g.
-    ``one``) are inherently orientation-ambiguous per crop and are only
-    placed on upright pages."""
-    tops = set()
-    for ch in word:
-        rows = glyph_bitmap(ch).any(axis=1).nonzero()[0]
-        tops.add(int(rows[0]) < 2)
-    return len(tops) == 2
 
 # charset-only vocabulary (2-7 chars, lowercase alnum). Fixed order matters
 # for determinism.

@@ -79,6 +79,28 @@ def templates() -> np.ndarray:
     return _TEMPLATES
 
 
+def tall_chars() -> str:
+    """Charset chars whose glyph ink starts above row 2 (ascenders/digits),
+    in charset order. The complement is the x-height class. Derived from the
+    font so the corpus generator and the DuckDB oracle SQL (which inlines
+    these as regex classes) can never drift from the raster."""
+    return "".join(
+        c for c in CHARSET
+        if int(glyph_bitmap(c).any(axis=1).nonzero()[0][0]) < 2
+    )
+
+
+def mixed_height(word: str) -> bool:
+    """True when the word mixes tall (ascender/digit) and x-height glyphs —
+    the cls stage's baseline-alignment evidence is then decisive, so a
+    180-degree rotation is always recoverable. All-x-height words (e.g.
+    ``one``) are inherently orientation-ambiguous per crop and are only
+    placed on upright pages."""
+    tall = set(tall_chars())
+    kinds = {ch in tall for ch in word}
+    return len(kinds) == 2
+
+
 def render_word(word: str, scale: int = 4) -> np.ndarray:
     """Render a charset-only word as a grayscale image (white bg, black ink).
 

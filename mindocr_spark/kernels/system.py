@@ -130,14 +130,46 @@ def layout_region_text(img: np.ndarray, bbox: tuple[float, float, float, float])
     return " ".join(recs[i]["transcription"] for i in order)
 
 
-def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:
+def detect_quads(img: np.ndarray, box_mode: str = "quad") -> list[np.ndarray]:
+    """Reading-ordered recognition quads under either detection mode.
+
+    ``box_mode='quad'`` is :func:`detect_boxes`; ``box_mode='poly'`` runs
+    poly-mode detection (``box_type='poly'``) and fits each ragged polygon's
+    min-area rect — the quad the crop stage needs (the reference's
+    ``crop_text_region`` consumes 4-point boxes regardless of det box_type).
+    """
+    if box_mode == "quad":
+        return detect_boxes(img)
+    from ..functions.geometry import min_area_rect, order_points_clockwise
+
+    polys, _scores = detect_polys(img)
+    quads = [
+        order_points_clockwise(
+            min_area_rect(p.astype(np.float64))[0]
+        ).astype(np.int64)
+        for p in polys
+    ]
+    order = sorted_boxes(quads)
+    return [quads[i] for i in order]
+
+
+def ocr_image(
+    img: np.ndarray,
+    use_cls: bool = True,
+    decoder: str = "ctc",
+    box_mode: str = "quad",
+) -> list[dict]:
     """Full per-image system; returns kept records in reading order:
     ``[{"transcription": str, "score": float, "points": [[x,y]x4]}]``
-    with the drop-score filter applied (``predict_system.py:327-336``)."""
+    with the drop-score filter applied (``predict_system.py:327-336``).
+
+    ``decoder``/``box_mode`` select the rec-head and det-output contracts
+    (the reference's config axes: ``rec_postprocess.py:255-366`` attn family,
+    ``det_db_postprocess.py:103-107`` box_type='poly')."""
     records: list[dict] = []
-    for poly in detect_boxes(img):
+    for poly in detect_quads(img, box_mode=box_mode):
         crop = crop_box(img, poly)
-        text, conf = classify_and_recognize(crop, use_cls=use_cls)
+        text, conf = classify_and_recognize(crop, use_cls=use_cls, decoder=decoder)
         if not text or conf < DROP_SCORE:
             continue
         records.append(
@@ -150,10 +182,20 @@ def ocr_image(img: np.ndarray, use_cls: bool = True) -> list[dict]:
     return records
 
 
-def media_payload_text(payload: bytes | None, use_cls: bool = True) -> str:
+def media_payload_text(
+    payload: bytes | None, use_cls: bool = True, profile: str | None = None
+) -> str:
     """Route a media payload by magic bytes: PDFs go through the text-layer
     parser (north rule: 'PDF/layout parse'), images through decode+OCR;
-    junk/missing yields '' (decode-skip semantics)."""
+    junk/missing yields '' (decode-skip semantics).
+
+    ``profile`` is per-item pipeline metadata (the media table's ``profile``
+    column — the per-source analogue of the reference's yaml config choice):
+    ``'attn'`` decodes recognition with the attention head contract,
+    ``'poly'`` detects with ``box_type='poly'``; None/'default' is the
+    CTC+quad system."""
+    decoder = "attn" if profile == "attn" else "ctc"
+    box_mode = "poly" if profile == "poly" else "quad"
     if payload is None:
         return ""
     payload = bytes(payload)
@@ -187,11 +229,19 @@ def media_payload_text(payload: bytes | None, use_cls: bool = True) -> str:
         return " ".join(
             t for row in table["cells"] for t in row if t
         )
-    return media_span_text(img, use_cls=use_cls)
+    return media_span_text(img, use_cls=use_cls, decoder=decoder, box_mode=box_mode)
 
 
-def media_span_text(img: np.ndarray, use_cls: bool = True) -> str:
+def media_span_text(
+    img: np.ndarray,
+    use_cls: bool = True,
+    decoder: str = "ctc",
+    box_mode: str = "quad",
+) -> str:
     """The extracted text of one media span: kept transcriptions in reading
     order joined by single spaces (join convention from
     ``predict_table_e2e.py:186-189``; ordering ``utils.py:95-103``)."""
-    return " ".join(r["transcription"] for r in ocr_image(img, use_cls=use_cls))
+    return " ".join(
+        r["transcription"]
+        for r in ocr_image(img, use_cls=use_cls, decoder=decoder, box_mode=box_mode)
+    )

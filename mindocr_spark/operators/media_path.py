@@ -33,16 +33,27 @@ from ..kernels.system import (
     ocr_image,
 )
 
-# schemas for mapInPandas stages
+# schemas for mapInPandas stages. ``profile`` is per-item pipeline metadata
+# from the media table (None/'default' = CTC+quad; 'attn' = attention-head
+# rec decode; 'poly' = box_type='poly' detection) — the per-source analogue
+# of the reference's yaml config axes, carried through the exploded plan so
+# the rec stage decodes each crop under its source's contract.
 FUSED_SCHEMA = "doc_id string, offset int, media_ref string, text string"
 DET_CROPS_SCHEMA = (
     "doc_id string, offset int, media_ref string, box_idx int, "
-    "crop binary, crop_h int, crop_w int"
+    "crop binary, crop_h int, crop_w int, profile string"
 )
 REC_SCHEMA = (
     "doc_id string, offset int, media_ref string, box_idx int, "
     "text string, conf double"
 )
+
+
+def _profiles_col(pdf: pd.DataFrame) -> "pd.Series | list[None]":
+    """The optional ``profile`` column (older corpora lack it)."""
+    if "profile" in pdf.columns:
+        return pdf["profile"]
+    return [None] * len(pdf)
 
 
 def _safe_decode(png: bytes | None) -> np.ndarray | None:
@@ -68,8 +79,8 @@ def ocr_fused_iter(
     """(doc_id, offset, media_ref, image) -> (doc_id, offset, media_ref, text)."""
     for pdf in batches:
         texts = []
-        for blob in pdf["image"]:
-            texts.append(media_payload_text(blob, use_cls=use_cls))
+        for blob, prof in zip(pdf["image"], _profiles_col(pdf)):
+            texts.append(media_payload_text(blob, use_cls=use_cls, profile=prof))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -90,13 +101,15 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     drop-score filter — survives the downstream groupBy without a restore
     join (it contributes an empty text the final assembly drops).
     """
+    from ..kernels.system import detect_quads
+
     for pdf in batches:
         out: dict[str, list] = {
             "doc_id": [], "offset": [], "media_ref": [],
-            "box_idx": [], "crop": [], "crop_h": [], "crop_w": [],
+            "box_idx": [], "crop": [], "crop_h": [], "crop_w": [], "profile": [],
         }
 
-        def emit(doc_id, offset, media_ref, idx, blob, ch, cw):
+        def emit(doc_id, offset, media_ref, idx, blob, ch, cw, prof):
             out["doc_id"].append(doc_id)
             out["offset"].append(offset)
             out["media_ref"].append(media_ref)
@@ -104,18 +117,20 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["crop"].append(blob)
             out["crop_h"].append(ch)
             out["crop_w"].append(cw)
+            out["profile"].append(prof)
 
-        for doc_id, offset, media_ref, png in zip(
-            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"]
+        for doc_id, offset, media_ref, png, prof in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image"],
+            _profiles_col(pdf),
         ):
-            emit(doc_id, offset, media_ref, -1, b"", 0, 0)  # sentinel
+            emit(doc_id, offset, media_ref, -1, b"", 0, 0, prof)  # sentinel
             if png is not None and bytes(png).startswith(b"%PDF"):
                 # PDF media: text layer extracted here; carried verbatim to
                 # the rec stage as a box_idx=-2 row (no crops to explode)
                 text = media_payload_text(png)
                 emit(
                     doc_id, offset, media_ref, -2,
-                    text.encode("utf-8"), len(text), 0,
+                    text.encode("utf-8"), len(text), 0, prof,
                 )
                 continue
             img = _safe_decode(png)
@@ -130,14 +145,15 @@ def det_crops_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 text = media_payload_text(png)
                 emit(
                     doc_id, offset, media_ref, -2,
-                    text.encode("utf-8"), len(text), 0,
+                    text.encode("utf-8"), len(text), 0, prof,
                 )
                 continue
-            for idx, poly in enumerate(detect_boxes(img)):
+            box_mode = "poly" if prof == "poly" else "quad"
+            for idx, poly in enumerate(detect_quads(img, box_mode=box_mode)):
                 crop = crop_box(img, poly)  # uint8
                 emit(
                     doc_id, offset, media_ref, idx,
-                    crop.tobytes(), crop.shape[0], crop.shape[1],
+                    crop.tobytes(), crop.shape[0], crop.shape[1], prof,
                 )
         yield pd.DataFrame(out)
 
@@ -150,8 +166,9 @@ def recognize_iter(
     for pdf in batches:
         texts: list[str] = []
         confs: list[float] = []
-        for blob, h, w, bidx in zip(
-            pdf["crop"], pdf["crop_h"], pdf["crop_w"], pdf["box_idx"]
+        for blob, h, w, bidx, prof in zip(
+            pdf["crop"], pdf["crop_h"], pdf["crop_w"], pdf["box_idx"],
+            _profiles_col(pdf),
         ):
             if int(bidx) == -2:  # verbatim payload text (PDF text layer)
                 texts.append(bytes(blob).decode("utf-8"))
@@ -163,7 +180,9 @@ def recognize_iter(
                 continue
             crop = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
             text, conf = classify_and_recognize(
-                crop, use_cls=use_cls, decoder=decoder
+                crop,
+                use_cls=use_cls,
+                decoder="attn" if prof == "attn" else decoder,
             )
             texts.append(text)
             confs.append(conf)

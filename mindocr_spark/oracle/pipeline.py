@@ -27,7 +27,15 @@ def extract_documents_oracle(
 
     Returns (doc_id, out_spans list[dict]) sorted by doc_id.
     """
-    media_lookup = dict(zip(media_df["media_ref"], media_df["image"]))
+    profiles = (
+        media_df["profile"]
+        if "profile" in media_df.columns
+        else [None] * len(media_df)
+    )
+    media_lookup = {
+        ref: (img, prof)
+        for ref, img, prof in zip(media_df["media_ref"], media_df["image"], profiles)
+    }
     out_rows = []
     for _, row in spans_df.iterrows():
         spans = sorted(row["spans"], key=lambda s: s["offset"])
@@ -37,8 +45,8 @@ def extract_documents_oracle(
                 text = extract_main_text(span["text"])
                 media_ref = None
             else:
-                payload = media_lookup.get(span["media_ref"])
-                text = media_payload_text(payload, use_cls=use_cls)
+                payload, prof = media_lookup.get(span["media_ref"], (None, None))
+                text = media_payload_text(payload, use_cls=use_cls, profile=prof)
                 media_ref = span["media_ref"]
             out_spans.append(
                 {

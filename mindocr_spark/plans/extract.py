@@ -64,7 +64,40 @@ OUT_SPAN_TYPE = (
 # documents ('[]'). Any kernel or reassembly regression (det miss, rec
 # error, drop-score misfire, ordering bug, shared-media fan-out, empty-doc
 # loss) breaks the hash — a real end-to-end check, not a tautology.
-EXTRACT_ORACLE_SQL = """
+#
+# Round 4 sub-shapes (doc_id % 16), each hash-certifying a pipeline path
+# that was previously pytest-only:
+#   9  — ROTATED page (when all words mixed-height): the cls stage must
+#        flip every crop; extracted words read in REVERSE placement order
+#        (a rotated page is read in its own flipped frame). The
+#        mixed-height predicate is evaluated in SQL with regex classes
+#        derived from the glyph font (functions/glyphs.tall_chars), so the
+#        oracle and the generator share the gating rule.
+#   10 — ruled 2x2 TABLE media: table-structure path (grid detect + line
+#        erase + cell match); text = row-major non-empty cells = mt + w0.
+#   12 — m=4's shared ref points at a doc-d-3 that is the rotated variant:
+#        same reverse-order conditional on r.mt.
+#   11 — poly/attn profiles (m=3): text is unchanged BY DESIGN — the hash
+#        certifies the alternate det/rec contracts produce the exact same
+#        words (a broken poly fit or attn decode breaks the hash).
+def _build_extract_oracle_sql() -> str:
+    from ..functions.glyphs import tall_chars
+    from ..config import CHARSET
+
+    tall = tall_chars()
+    short = "".join(c for c in CHARSET if c not in tall)
+
+    def allmixed(col: str) -> str:
+        return (
+            f"len(list_filter(string_split({col},' '), w -> NOT ("
+            f"regexp_matches(w,'[{tall}]') AND regexp_matches(w,'[{short}]')"
+            f"))) = 0"
+        )
+
+    def reversed_(col: str) -> str:
+        return f"array_to_string(list_reverse(string_split({col},' ')), ' ')"
+
+    return f"""
 WITH ww AS (
   SELECT doc_id, text,
     coalesce(nullif(array_to_string(
@@ -76,41 +109,60 @@ WITH ww AS (
 SELECT printf('doc_%08d', d.doc_id) AS doc_id,
   CASE
     WHEN d.doc_id % 8 = 0 THEN
-      '[{"kind":"text","text":"' || d.text || '","order":0},'
-      || '{"kind":"media","text":"' || d.mt || '","media_ref":"pdf_'
-      || printf('%08d', d.doc_id) || '_01","order":1}]'
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"media","text":"' || d.mt || '","media_ref":"pdf_'
+      || printf('%08d', d.doc_id) || '_01","order":1}}]'
+    WHEN d.doc_id % 16 = 9 AND {allmixed('d.mt')} THEN
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"media","text":"' || {reversed_('d.mt')}
+      || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":1}}]'
     WHEN d.doc_id % 8 = 1 THEN
-      '[{"kind":"text","text":"' || d.text || '","order":0},'
-      || '{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
-      || printf('%08d', d.doc_id) || '_01","order":1}]'
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":1}}]'
+    WHEN d.doc_id % 16 = 10 THEN
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"text","text":"' || d.mt || '","order":1}},'
+      || '{{"kind":"media","text":"' || d.mt || ' '
+      || string_split(d.mt, ' ')[1] || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":2}}]'
     WHEN d.doc_id % 8 = 2 THEN
-      '[{"kind":"text","text":"' || d.text || '","order":0},'
-      || '{"kind":"text","text":"' || d.mt || '","order":1},'
-      || '{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
-      || printf('%08d', d.doc_id) || '_01","order":2}]'
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"text","text":"' || d.mt || '","order":1}},'
+      || '{{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":2}}]'
     WHEN d.doc_id % 8 = 3 THEN
-      '[{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
-      || printf('%08d', d.doc_id) || '_01","order":0},'
-      || '{"kind":"text","text":"' || d.text || '","order":1},'
-      || '{"kind":"media","text":"' || string_split(d.mt, ' ')[1]
-      || '","media_ref":"img_' || printf('%08d', d.doc_id) || '_02","order":2}]'
+      '[{{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":0}},'
+      || '{{"kind":"text","text":"' || d.text || '","order":1}},'
+      || '{{"kind":"media","text":"' || string_split(d.mt, ' ')[1]
+      || '","media_ref":"img_' || printf('%08d', d.doc_id) || '_02","order":2}}]'
+    WHEN d.doc_id % 16 = 12 AND {allmixed('r.mt')} THEN
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"media","text":"' || {reversed_('r.mt')}
+      || '","media_ref":"img_'
+      || printf('%08d', d.doc_id - 3) || '_01","order":1}}]'
     WHEN d.doc_id % 8 = 4 THEN
-      '[{"kind":"text","text":"' || d.text || '","order":0},'
-      || '{"kind":"media","text":"' || r.mt || '","media_ref":"img_'
-      || printf('%08d', d.doc_id - 3) || '_01","order":1}]'
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"media","text":"' || r.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id - 3) || '_01","order":1}}]'
     WHEN d.doc_id % 8 = 5 THEN '[]'
     WHEN d.doc_id % 16 = 6 THEN
-      '[{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
-      || printf('%08d', d.doc_id) || '_01","order":0}]'
+      '[{{"kind":"media","text":"' || d.mt || '","media_ref":"img_'
+      || printf('%08d', d.doc_id) || '_01","order":0}}]'
     WHEN d.doc_id % 16 = 14 THEN
-      '[{"kind":"media","text":"","media_ref":"missing_'
-      || printf('%08d', d.doc_id) || '","order":0}]'
+      '[{{"kind":"media","text":"","media_ref":"missing_'
+      || printf('%08d', d.doc_id) || '","order":0}}]'
     ELSE
-      '[{"kind":"text","text":"' || d.text || '","order":0},'
-      || '{"kind":"text","text":"' || d.mt || '","order":1}]'
+      '[{{"kind":"text","text":"' || d.text || '","order":0}},'
+      || '{{"kind":"text","text":"' || d.mt || '","order":1}}]'
   END AS out_spans_json
 FROM ww d LEFT JOIN ww r ON r.doc_id = d.doc_id - 3
 """
+
+
+EXTRACT_ORACLE_SQL = _build_extract_oracle_sql()
 
 
 def extract_serialized(
@@ -151,23 +203,35 @@ def _cpu_partitions(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 2
 
 
+def _media_side(media: DataFrame) -> DataFrame:
+    """The media columns the OCR stages consume. ``profile`` is per-item
+    pipeline metadata (attn/poly routing); absent on older corpora."""
+    cols = ["media_ref", "image"]
+    if "profile" in media.columns:
+        cols.append("profile")
+        return media.select(*cols)
+    return media.select(*cols).withColumn(
+        "profile", F.lit(None).cast("string")
+    )
+
+
 def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
     # LEFT join: a span whose media_ref is absent from the media table must
     # still produce an (empty-text) output span, like an unreadable image
     # (decode_node.py:30-42 skip semantics)
-    joined = media_spans.join(media.select("media_ref", "image"), "media_ref", "left")
+    joined = media_spans.join(_media_side(media), "media_ref", "left")
     joined = joined.repartition(_cpu_partitions(joined), "media_ref")
-    return joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
-        ocr_fused_iter, FUSED_SCHEMA
-    )
+    return joined.select(
+        "doc_id", "offset", "media_ref", "image", "profile"
+    ).mapInPandas(ocr_fused_iter, FUSED_SCHEMA)
 
 
 def _media_texts_exploded(media_spans: DataFrame, media: DataFrame) -> DataFrame:
-    joined = media_spans.join(media.select("media_ref", "image"), "media_ref", "left")
+    joined = media_spans.join(_media_side(media), "media_ref", "left")
     joined = joined.repartition(_cpu_partitions(joined), "media_ref")
-    crops = joined.select("doc_id", "offset", "media_ref", "image").mapInPandas(
-        det_crops_iter, DET_CROPS_SCHEMA
-    )
+    crops = joined.select(
+        "doc_id", "offset", "media_ref", "image", "profile"
+    ).mapInPandas(det_crops_iter, DET_CROPS_SCHEMA)
     # crop-level redistribution: the unit of rec work is one crop, so a
     # 1000-box image cannot pin one task (the skew answer; SURVEY.md §4.1).
     # sortWithinPartitions by aspect ratio mirrors the reference's

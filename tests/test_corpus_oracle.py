@@ -109,3 +109,52 @@ def test_extract_oracle_assumptions_hold_at_sf01():
         assert media_words_for(text)[0] == mt.split(" ")[0], did
         # JSON-safety of the oracle's string concatenation
         assert '"' not in text and "\\" not in text, did
+
+
+def test_round4_oracle_assumptions_hold_at_sf01():
+    """The round-4 sub-shape arms of EXTRACT_ORACLE_SQL are valid only while
+    (a) the SQL's tall/short regex classes reproduce the font-derived
+    ``mixed_height`` gate word-for-word, and (b) the 2x2 table cell layout's
+    row-major non-empty join equals ``mt + ' ' + w0``. Verify both across
+    the full sf0.1 documents table."""
+    import duckdb
+
+    from mindocr_spark.config import CHARSET
+    from mindocr_spark.data.derive_corpus import media_words_for
+    from mindocr_spark.functions.glyphs import mixed_height, tall_chars
+
+    tall = tall_chars()
+    short = "".join(c for c in CHARSET if c not in tall)
+    assert set(tall) | set(short) == set(CHARSET)
+    assert not set(tall) & set(short)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT doc_id, text,
+          len(list_filter(string_split(mt,' '), w -> NOT (
+            regexp_matches(w,'[{tall}]') AND regexp_matches(w,'[{short}]')
+          ))) = 0 AS allmixed,
+          array_to_string(list_reverse(string_split(mt,' ')), ' ') AS rev,
+          mt || ' ' || string_split(mt,' ')[1] AS table_text
+        FROM (
+          SELECT doc_id, text,
+            coalesce(nullif(array_to_string(
+              (list_filter(string_split(text,' '),
+                   w -> len(w) BETWEEN 2 AND 7 AND regexp_matches(w,'^[0-9a-z]+$'))
+              )[1:3], ' '), ''), 'empty') AS mt
+          FROM read_parquet('/root/testdata/sf0.1/documents.parquet')
+        ) ORDER BY doc_id
+        """
+    ).fetchall()
+    assert len(rows) >= 1000
+    for did, text, sql_allmixed, sql_rev, sql_table in rows:
+        words = media_words_for(text)
+        assert all(mixed_height(w) for w in words) == sql_allmixed, did
+        assert " ".join(reversed(words)) == sql_rev, did
+        cells = [
+            [words[0], words[1] if len(words) > 1 else ""],
+            [words[2] if len(words) > 2 else "", words[0]],
+        ]
+        expected = " ".join(t for row in cells for t in row if t)
+        assert expected == sql_table, did

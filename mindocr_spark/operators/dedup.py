@@ -19,11 +19,100 @@ from pyspark.sql import functions as F
 
 from ..config import persist_intermediate
 
-N_MINHASH = 8
-N_BANDS = 4  # rows-per-band = 2
 SIMHASH_BITS = 60  # 15 hex chars -> fits signed int64 in both engines
 JACCARD_THRESHOLD = 0.12
 SHINGLE_N = 3
+MAX_MINHASHES = 128  # hash budget (DataSketch-standard): bands*rows <= this
+
+
+def _bands_rows_for_threshold(t: float) -> tuple[int, int]:
+    """(bands, rows-per-band) DERIVED from the target jaccard threshold via
+    the LSH S-curve (round 4, replacing the fixed 4x2): the banding's
+    ~50%-collision point is s* = (1/bands)^(1/rows) (Mining of Massive
+    Datasets, ch.3); pick the (bands, rows) inside the hash budget whose
+    s* lands closest to the operator threshold, ties to fewer hashes.
+    rows >= 2 is a precision floor: 1-row bands collide with probability
+    equal to the jaccard itself — no S-curve knee, so the candidate set
+    degenerates to a hash-family-dependent sample of every weakly-similar
+    pair (measured: md5/xxhash64 family overlap collapses from ~1.0 to
+    0.06). At t = 0.12 this derives 64 bands x 2 rows (s* = 0.125, the
+    industry-standard 128-perm budget) — the managed recall contract; the
+    previous 4x2 put s* at 0.50, so recall at the registered threshold was
+    an accident of constants."""
+    best: tuple[float, int, int, int] | None = None
+    for rows in range(2, 7):
+        for bands in range(1, MAX_MINHASHES + 1):
+            if bands * rows > MAX_MINHASHES:
+                continue
+            s_star = (1.0 / bands) ** (1.0 / rows)
+            key = (abs(s_star - t), bands * rows, bands, rows)
+            if best is None or key < best:
+                best = key
+    assert best is not None
+    return best[2], best[3]
+
+
+N_BANDS, BAND_ROWS = _bands_rows_for_threshold(JACCARD_THRESHOLD)
+N_MINHASH = N_BANDS * BAND_ROWS
+
+
+def _band_cols(b: int) -> list[str]:
+    """Minhash column names making up band ``b`` (rows-per-band slices)."""
+    return [f"mh{b * BAND_ROWS + i}" for i in range(BAND_ROWS)]
+
+
+def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-jaccard verification of LSH candidate pairs — the second half
+    of the MMDS recipe (round 4): candidates whose true shingle jaccard
+    clears JACCARD_THRESHOLD survive; banding false positives (probability
+    mass below the S-curve knee) are removed, so the operator's output is
+    hash-family-independent up to recall. Work is bounded by candidate
+    volume x shingles-per-doc (each candidate joins only its own two
+    shingle sets), never by corpus size."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            )
+            >= F.lit(JACCARD_THRESHOLD)
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+_VERIFY_SQL_TAIL = f"""
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+)"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,12 +184,17 @@ GROUP BY 1 HAVING count(*) > 1
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 md5 permutations) + LSH banding (4 bands x 2 rows):
-    candidate near-dup pairs = docs sharing any band signature.
+    """MinHash (md5 permutations) + LSH banding + exact verification —
+    near-dup pairs whose true shingle jaccard clears the threshold. The
+    (bands, rows) split is derived from JACCARD_THRESHOLD via the S-curve
+    (:func:`_bands_rows_for_threshold`; 64x2 at t=0.12), so the recall
+    contract tracks the registered threshold instead of being an accident
+    of constants, and banding false positives are removed by
+    :func:`_verify_candidates` (the full MMDS recipe).
 
-    shingle -> minhash -> band -> bucket-join, all on deterministic md5
-    strings (lexicographic min == numeric min of the hash)."""
-    sh = _shingles(_docs(spark, sf_dir))
+    shingle -> minhash -> band -> bucket-join -> exact verify, all on
+    deterministic md5 strings (lexicographic min == numeric min)."""
+    sh = persist_intermediate(_shingles(_docs(spark, sf_dir)))
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle")))).alias(
@@ -115,7 +209,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.concat(
-                        F.lit(f"b{b}:"), F.col(f"mh{2*b}"), F.lit("|"), F.col(f"mh{2*b+1}")
+                        F.lit(f"b{b}:"),
+                        F.concat_ws("|", *[F.col(c) for c in _band_cols(b)]),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -125,7 +220,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = persist_intermediate(bands)  # both join sides; unpersisted, the minhash agg runs twice
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = (
         a.join(b, "band")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -133,6 +228,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return _verify_candidates(sh, cand)
 
 
 def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,11 +240,11 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU and the band-join shuffle bytes drop. md5 stays the driver-gated
     form because DuckDB has no xxhash64 matching Spark's seed semantics;
     this variant is what a 100 TB job runs. Different hash family =>
-    different (valid) minhash permutations, so candidate pairs can differ
-    from the md5 form on boundary cases; on the synthetic corpus both
-    recover identical pair sets (pytest cluster-equivalence,
-    tests/test_dedup_banded.py)."""
-    sh = _shingles(_docs(spark, sf_dir))
+    different (valid) minhash permutations, so CANDIDATES can differ from
+    the md5 form on boundary cases — but both run the same exact-jaccard
+    verification, so the verified outputs agree up to S-curve recall
+    (pytest equivalence, tests/test_dedup_banded.py)."""
+    sh = persist_intermediate(_shingles(_docs(spark, sf_dir)))
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
@@ -163,7 +259,7 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band_no"),
                         F.xxhash64(
-                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                            *[F.col(c) for c in _band_cols(b)]
                         ).alias("band_key"),
                     )
                     for b in range(N_BANDS)
@@ -174,12 +270,13 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = persist_intermediate(bands)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = (
         a.join(b, ["band_no", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _verify_candidates(sh, cand)
 
 
 MINHASH_LSH_SQL = f"""
@@ -192,11 +289,15 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, unnest([
-    {", ".join(f"'b{b}:' || mh{2*b} || '|' || mh{2*b+1}" for b in range(N_BANDS))}
+    {", ".join("'b%d:' || " % b + " || '|' || ".join(_band_cols(b)) for b in range(N_BANDS))}
   ]) AS band FROM mh
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+{_VERIFY_SQL_TAIL.lstrip()}
+SELECT doc_a, doc_b FROM verified
 """
 
 
@@ -838,16 +939,17 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, unnest([
-    {", ".join(f"'b{b}:' || mh{2*b} || '|' || mh{2*b+1}" for b in range(N_BANDS))}
+    {", ".join("'b%d:' || " % b + " || '|' || ".join(_band_cols(b)) for b in range(N_BANDS))}
   ]) AS band FROM mh
 ),
-pr AS (
+cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ),
+{_VERIFY_SQL_TAIL.lstrip()},
 edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM pr
-  UNION ALL SELECT doc_b, doc_a FROM pr
+  SELECT doc_a AS s, doc_b AS d FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
 ),
 reach(doc_id, r) AS (
   SELECT doc_id, doc_id FROM documents

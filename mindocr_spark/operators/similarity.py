@@ -5,11 +5,11 @@
   precision with index-order folds, which both Spark and DuckDB evaluate in
   the same IEEE order; results rounded to 4dp before ranking so both
   engines rank identically.
-- ``ann_lsh_topk``: the scale path — sign-LSH bucketing on the first
-  ``nbits`` coordinates (deterministic hyperplanes; nbits derived from
-  corpus size so buckets stay ~TARGET_BUCKET rows), then exact rerank
-  within the bucket. At 10^12 rows the bucket column is the shuffle/
-  partition key and the query set is broadcast.
+- ``ann_lsh_topk``: the scale path — sign-LSH bucketing on ``nbits`` seeded
+  random-projection hyperplanes (deterministic integer-hash sign vectors;
+  nbits derived from corpus size so buckets stay ~TARGET_BUCKET rows), then
+  exact rerank within the bucket. At 10^12 rows the bucket column is the
+  shuffle/partition key and the query set is broadcast.
 """
 
 from __future__ import annotations
@@ -27,7 +27,14 @@ TOP_K = 3
 # DuckDB always agree on the bucket layout at any sf.
 TARGET_BUCKET = 32
 MIN_TABLE_BITS = 3
-MAX_TABLE_BITS = 10  # 6 tables x 10 bits = 60 <= 64 distinct paired-diff planes
+# Round 4: hyperplanes are SEEDED RANDOM-PROJECTION (Rademacher) planes —
+# sign vectors from a deterministic integer hash — so the plane supply is
+# unbounded and the bit ceiling is set by the bucket-key width alone (int32
+# positive), not by the 64-dim paired-difference supply that capped round 3
+# at 10 bits. At N = 10^12 the derived width is ceil(log2(N/32)) = 35 -> 30,
+# i.e. ~10^9 buckets/table of ~1000 rows; per-bucket matmul work stays
+# bounded by bucket size (chunked), never by corpus size.
+MAX_TABLE_BITS = 30
 
 
 def _derived_bits(n: int) -> int:
@@ -117,20 +124,110 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# Table count is DERIVED from the bit count to hold the recall target at
+# the operator's threshold (classic LSH cost model: collision prob per bit
+# p = 1 - acos(thr)/pi; per-table p^bits; L tables give 1-(1-p^bits)^L).
+# As bits grow with corpus size, tables must grow to keep recall — this is
+# the textbook N^rho trade-off, made explicit instead of silently decaying;
+# MAX_LSH_TABLES is the cost ceiling, past which recall decays by design
+# (documented), not by accident. The mapping is materialized as an INTEGER
+# lookup shared verbatim with the oracle SQL (a CASE over nb), so engine
+# float/libm differences in acos/ln/pow can never desynchronize the sides.
+NEAR_DUP_COS = 0.45
+MIN_LSH_TABLES = 6
+MAX_LSH_TABLES = 24
+_LSH_RECALL_TARGET = 0.8
+
+
+def _tables_for_bits(bits: int) -> int:
+    import math
+
+    p_bit = 1.0 - math.acos(NEAR_DUP_COS) / math.pi
+    p_table = p_bit**bits
+    ln_miss = math.log(1.0 - _LSH_RECALL_TARGET)
+    tables = math.ceil(ln_miss / math.log(1.0 - p_table))
+    return min(MAX_LSH_TABLES, max(MIN_LSH_TABLES, tables))
+
+
+_TABLES_BY_BITS = {
+    b: _tables_for_bits(b) for b in range(MIN_TABLE_BITS, MAX_TABLE_BITS + 1)
+}  # {3: 6, 4: 9, 5: 14, 6: 21, 7+: 24} at threshold 0.45 / recall 0.8
+
+
+# Deterministic Rademacher hyperplane family (round 4, replacing the
+# 64-dim paired-difference supply): the sign of plane (t, k) at dim d is a
+# middle bit of a two-round multiplicative avalanche over
+# idx = (t * MAX_TABLE_BITS + k) * 64 + d:
+#     h1 = (idx * 2654435761) % 2^31
+#     h2 = (h1 XOR (h1 >> 15)) * 2246822519          (< 2^62: ANSI-safe)
+#     sign = 1 - 2 * ((h2 >> 27) % 2)
+# Measured against true-random expectations over the full 750-plane
+# namespace: max pairwise |corr| 0.625 / 99pct 0.31 (random-750 expectation
+# ~0.55/0.31), max |sign sum| 24/64 (expectation ~27) — i.e. statistically
+# indistinguishable from i.i.d. Rademacher planes, with unbounded supply.
+# All arithmetic is exact int64 (products < 2^62) and the dot is a
+# left-to-right double fold, so Spark, DuckDB and the numpy twin agree
+# bit-for-bit on every sign (verified sum-exact in tests).
+_HASH_A1 = 2654435761  # Knuth multiplicative constant
+_HASH_A2 = 2246822519  # xxhash64 prime 2
+
+
+def plane_signs(t: int, k: int):
+    """Numpy twin of the engine plane-sign formula: float64 (64,) of +-1."""
+    import numpy as np
+
+    idx = ((t * MAX_TABLE_BITS + k) * 64 + np.arange(64)).astype(np.int64)
+    h1 = (idx * _HASH_A1) % 2147483648
+    h2 = np.bitwise_xor(h1, h1 >> 15) * _HASH_A2
+    return 1.0 - 2.0 * ((h2 >> 27) % 2)
+
+
+def _bucket_spark_expr(t_sql: str, nbits: int) -> str:
+    """Spark SQL for a table's bucket id: ``nbits`` seeded-plane sign bits.
+    ``t_sql`` is the table index expression (a lambda variable or literal).
+    The inner fold adds +-embedding[d] in index order (exact IEEE parity
+    with the DuckDB comprehension and the numpy twin)."""
+    idx = f"(({t_sql} * {MAX_TABLE_BITS} + k) * 64 + d)"
+    h1 = f"(({idx} * {_HASH_A1}) % 2147483648)"
+    h2 = f"(({h1} ^ shiftright({h1}, 15)) * {_HASH_A2})"
+    sgn = f"(1 - 2 * (shiftright({h2}, 27) % 2))"
+    dot = (
+        f"aggregate(sequence(0, 63), 0D, (acc, d) -> acc + "
+        f"cast({sgn} as double) * cast(element_at(embedding, d + 1) as double))"
+    )
+    return (
+        f"aggregate(sequence(0, {nbits - 1}), 0, (acc, k) -> "
+        f"acc + (case when {dot} >= 0D then shiftleft(1, k) else 0 end))"
+    )
+
+
+def _bucket_duck_expr(t_sql: str) -> str:
+    """DuckDB twin of :func:`_bucket_spark_expr`, masked by the derived bit
+    count ``nb`` (CTE ``params``); duck's 1-based k/d map to spark's k-1/d-1
+    so plane (t, k, d) indexes identically. NOTE DuckDB ``^`` is power —
+    bitwise xor is the ``xor()`` function."""
+    idx = f"(({t_sql} * {MAX_TABLE_BITS} + k - 1) * 64 + d - 1)"
+    h1 = f"(({idx} * {_HASH_A1}) % 2147483648)"
+    h2 = f"(xor({h1}, {h1} >> 15) * {_HASH_A2})"
+    sgn = f"(1 - 2 * (({h2} >> 27) % 2))"
+    return (
+        f"list_sum([CASE WHEN k <= nb AND list_sum([{sgn} * "
+        f"cast(embedding[d] as double) for d in range(1, 65)]) >= 0 "
+        f"THEN 1 << (k - 1) ELSE 0 END for k in range(1, {MAX_TABLE_BITS + 1})])"
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: sign-LSH on the first ``nbits`` dims (nbits derived
-    from corpus size so buckets stay ~TARGET_BUCKET rows), exact top-1
-    within bucket.
+    """Bucketed ANN: one seeded-plane sign-LSH table (nbits derived from
+    corpus size so buckets stay ~TARGET_BUCKET rows), exact top-1 within
+    bucket. Planes come from the namespace one past the near-dup tables
+    (t = MAX_LSH_TABLES) so the two operators never share planes.
 
     The driver-side ``count()`` is a parquet metadata read (row-group
     counts), not a scan; at warehouse scale substitute catalog statistics or
     a cached approximate count — only the derived integer enters the plan."""
     nbits = _derived_bits(_emb(spark, sf_dir).count())
-    bucket = F.expr(
-        "aggregate(sequence(0, %d), 0, (acc, i) -> "
-        "acc + shiftleft(case when element_at(embedding, i + 1) >= 0F then 1 else 0 end, i))"
-        % (nbits - 1)
-    )
+    bucket = F.expr(_bucket_spark_expr(str(MAX_LSH_TABLES), nbits))
     emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", bucket)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -167,8 +264,7 @@ WITH params AS (SELECT {_DERIVED_BITS_DUCK} AS nb FROM embeddings),
 e AS (
   SELECT vec_id, embedding,
          sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm,
-         list_sum([CASE WHEN i <= nb AND embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END
-                   for i in range(1, {MAX_TABLE_BITS + 1})]) AS bucket
+         {_bucket_duck_expr(str(MAX_LSH_TABLES))} AS bucket
   FROM embeddings CROSS JOIN params
 ),
 sims AS (
@@ -297,9 +393,6 @@ WHERE rank = 1
 """
 
 
-NEAR_DUP_COS = 0.45
-
-
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEST ORACLE ONLY (not registered as a production query since round 2):
     exact all-pairs cosine via crossJoin — O(N^2), cannot survive scale.
@@ -327,51 +420,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Table count is DERIVED from the bit count to hold the recall target at
-# the operator's threshold (classic LSH cost model: collision prob per bit
-# p = 1 - acos(thr)/pi; per-table p^bits; L tables give 1-(1-p^bits)^L).
-# As bits grow with corpus size, tables must grow to keep recall — this is
-# the textbook N^rho trade-off, made explicit instead of silently decaying.
-# The mapping is materialized as an INTEGER lookup shared verbatim with the
-# oracle SQL (a CASE over nb), so engine float/libm differences in
-# acos/ln/pow can never desynchronize the two sides.
-MIN_LSH_TABLES = 6
-MAX_LSH_TABLES = 24  # plane supply + cost ceiling; past it recall decays
-_LSH_RECALL_TARGET = 0.8
-
-
-def _tables_for_bits(bits: int) -> int:
-    import math
-
-    p_bit = 1.0 - math.acos(NEAR_DUP_COS) / math.pi
-    p_table = p_bit**bits
-    ln_miss = math.log(1.0 - _LSH_RECALL_TARGET)
-    tables = math.ceil(ln_miss / math.log(1.0 - p_table))
-    return min(MAX_LSH_TABLES, max(MIN_LSH_TABLES, tables))
-
-
-_TABLES_BY_BITS = {
-    b: _tables_for_bits(b) for b in range(MIN_TABLE_BITS, MAX_TABLE_BITS + 1)
-}  # {3: 6, 4: 9, 5: 14, 6: 21, 7+: 24} at threshold 0.45 / recall 0.8
-
-
-def _lsh_pair_dims(t: int, k: int) -> tuple[int, int]:
-    """0-based dims of the paired-difference hyperplane for (table, bit):
-    sign(e[i] - e[j]). Paired differences are mean-free by construction, so
-    they split the corpus evenly even when raw coordinates are biased
-    (coordinate-sign LSH degrades badly on non-centered embeddings).
-
-    Indexed by MAX_TABLE_BITS (not the derived bit count) so plane (t, k)
-    is stable as the corpus grows. Strides are odd and far apart (31, 29,
-    27, ...) so all 24 x 10 = 240 planes are pairwise distinct AND no two
-    are sign-flips of each other (stride 32 would make (i, i+32) and
-    (i+32, i) complementary bits — correlated, wasted)."""
-    idx = t * MAX_TABLE_BITS + k
-    stride = 31 - 2 * (idx // 64)
-    i = idx % 64
-    return i, (i + stride) % 64
-
-
 def _lsh_candidates(emb: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs sharing any (table, bucket), distinct.
     Split out of :func:`embedding_near_dup_lsh` so the volume test in
@@ -380,26 +428,17 @@ def _lsh_candidates(emb: DataFrame) -> DataFrame:
     nbits = _derived_bits(emb.count())
     ntables = _TABLES_BY_BITS[nbits]
     # one compact higher-order expression computes every (table, bucket)
-    # pair, with the plane dims derived arithmetically (== _lsh_pair_dims):
-    # unrolling ntables x nbits literal CASE terms blows whole-stage
-    # codegen's 64KB method limit at 21x6 and silently falls back to
-    # interpreted mode — the HOF form stays small at any derived size.
-    idx = f"(t * {MAX_TABLE_BITS} + k)"
-    i_e = f"pmod({idx}, 64)"
-    j_e = f"cast(pmod({i_e} + 31 - 2 * ({idx} div 64), 64) as int)"
-    bit = (
-        f"shiftleft(case when cast(element_at(embedding, {i_e} + 1) as double)"
-        f" - cast(element_at(embedding, {j_e} + 1) as double) >= 0D"
-        f" then 1 else 0 end, k)"
-    )
+    # pair with the seeded-plane signs derived arithmetically (==
+    # plane_signs): unrolling ntables x nbits literal terms would blow
+    # whole-stage codegen's 64KB method limit — the HOF form stays small at
+    # any derived size.
     tabs = emb.select(
         "vec_id",
         "embedding",
         "norm",
         F.expr(
             f"explode(transform(sequence(0, {ntables - 1}), t -> struct("
-            f"t as t, aggregate(sequence(0, {nbits - 1}), 0, "
-            f"(acc, k) -> acc + {bit}) as bkt)))"
+            f"t as t, {_bucket_spark_expr('t', nbits)} as bkt)))"
         ).alias("tb"),
     ).select("vec_id", "embedding", "norm", "tb.t", "tb.bkt")
 
@@ -448,30 +487,30 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production embedding near-dup: multi-table sign-LSH candidate
     generation, exact cosine check on candidates only. No crossJoin.
 
-    L hash tables x nbits (both derived, see below); bit k of table t is the sign of a fixed
-    paired-coordinate difference (deterministic hyperplane, identical in
-    both engines via double-cast subtraction). Candidates = pairs sharing
-    any table bucket (equi-join on (table, bucket), distinct), then the
-    exact cosine >= threshold filter after a join-back by id — embeddings
-    are never carried through the table explode.
+    L hash tables x nbits (both derived, see below); bit k of table t is
+    the sign of a SEEDED random-projection (Rademacher) hyperplane — sign
+    vector from a deterministic integer hash, identical in both engines
+    (see the plane-family comment above :func:`plane_signs`). Candidates =
+    pairs sharing any table bucket (equi-join on (table, bucket),
+    distinct), then the exact cosine >= threshold filter after a join-back
+    by id — embeddings are never carried through the table explode.
 
-    Bits-per-table is DERIVED from corpus size (round 3, replacing the
-    fixed 3-bit tables): bits = clamp(ceil(log2(N / 32)), 3, 10), so the
-    expected bucket holds ~32 rows and total candidate volume is
-    ~N * 32/2 * 6 tables = O(N) — the volume test in
-    tests/test_dedup_banded.py asserts ~linear growth between sfs. The
-    oracle SQL computes the identical formula from count(*), so both
-    engines always agree on the layout. Recall is the LSH trade-off:
-    inherently bounded here because the synthetic threshold 0.45 means
-    ~63 deg angles (random-hyperplane collision prob 0.65/bit); at a real
-    near-dup threshold (cos >= 0.9, ~26 deg) the same construction gives
-    ~0.86/bit and recall >97% at 4-5 bits. Past 10 bits/table the 64-dim
-    paired-difference plane supply is exhausted (60 distinct planes);
-    beyond that a real deployment switches to seeded random-projection
-    hyperplanes (unbounded supply, same bucket-join shape) and keeps this
-    operator's plan. The oracle SQL mirrors the same prefilter, so the
-    gate checks the operator's actual contract, not the quadratic ideal
-    (which tests/ compare against).
+    Bits-per-table is DERIVED from corpus size: bits =
+    clamp(ceil(log2(N / 32)), 3, 30), so the expected bucket holds ~32
+    rows and total candidate volume is ~N * 32/2 * L tables = O(N) — the
+    volume test in tests/test_dedup_banded.py asserts ~linear growth
+    between sfs, and the seeded plane supply is unbounded, so the round-3
+    10-bit ceiling (64-dim paired-difference supply) is gone: the width
+    that was clamped from N ~ 10^6 now derives freely to 30 bits
+    (N ~ 3*10^10 before buckets regrow, vs 10^6 before). The oracle SQL
+    computes the identical formula from count(*), so both engines always
+    agree on the layout. Recall is the LSH trade-off: inherently bounded
+    here because the synthetic threshold 0.45 means ~63 deg angles
+    (random-hyperplane collision prob 0.65/bit); at a real near-dup
+    threshold (cos >= 0.9, ~26 deg) the same construction gives ~0.86/bit
+    and recall >97% at 4-5 bits. The oracle SQL mirrors the same
+    prefilter, so the gate checks the operator's actual contract, not the
+    quadratic ideal (which tests/ compare against).
     """
     emb = _with_norm(_emb(spark, sf_dir))
     cand = _lsh_candidates(emb)
@@ -497,20 +536,6 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_duck(t: int) -> str:
-    """Bucket expression with every potential bit masked by the derived bit
-    count ``nb`` (CTE ``params``) — mirrors the Spark side, which bakes the
-    same derived count as a literal."""
-    bits = []
-    for k in range(MAX_TABLE_BITS):
-        i, j = _lsh_pair_dims(t, k)
-        bits.append(
-            f"(CASE WHEN {k} < nb AND cast(embedding[{i + 1}] as double)"
-            f" - cast(embedding[{j + 1}] as double) >= 0 THEN {1 << k} ELSE 0 END)"
-        )
-    return " + ".join(bits)
-
-
 _NTABLES_CASE_DUCK = "CASE nb " + " ".join(
     f"WHEN {b} THEN {_TABLES_BY_BITS[b]}"
     for b in range(MIN_TABLE_BITS, MAX_TABLE_BITS + 1)
@@ -527,7 +552,10 @@ e AS (
   FROM embeddings
 ),
 tabs AS (
-  {" UNION ALL ".join(f"SELECT vec_id, {t} AS t, {_lsh_bucket_duck(t)} AS bkt FROM e CROSS JOIN params WHERE {t} < ntab" for t in range(MAX_LSH_TABLES))}
+  SELECT vec_id, t, {_bucket_duck_expr('t')} AS bkt
+  FROM e CROSS JOIN params
+  CROSS JOIN (SELECT unnest(range({MAX_LSH_TABLES})) AS t)
+  WHERE t < ntab
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b

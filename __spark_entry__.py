@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Manku block-combination tables (30-bit keys): the construction
         # that survives past the banded form's 2^15 keyspace ceiling
         "simhash_near_dup_manku": dedup.simhash_near_dup_manku,
+        # 64-bit xxhash64 production twin: C(7,4) tables on >= 2^36 keys —
+        # the 10^12-doc form (rows-only: DuckDB lacks Spark's xxhash64;
+        # pytest proves pigeonhole exactness + 60-bit pair equivalence)
+        "simhash64_near_dup": dedup.simhash64_near_dup,
         "ngram_jaccard_filtered": dedup.ngram_jaccard_filtered,
         "near_dup_clusters": dedup.near_dup_clusters,
         # similarity search

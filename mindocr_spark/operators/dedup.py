@@ -607,6 +607,117 @@ def simhash_near_dup_manku(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_NEAR_DUP_MANKU_SQL = SIMHASH_NEAR_DUP_BANDED_SQL
 
 
+# --- 64-bit xxhash64 production twin (round 4) -------------------------------
+# The 60-bit/md5 family above is the DuckDB-int64-parity ORACLE choice; its
+# Manku keyspace tops out at 2^30 (heavy past N ~ 10^9-10^10). This twin is
+# what a 10^12-doc job runs: JVM-intrinsic xxhash64 token hashes, the full
+# 64 signature bits, and 7 Manku blocks (sizes 10+9*6) picked 4 at a time —
+# C(7,4) = 35 tables on >= 2^36 combination keys, candidate volume
+# Theta(35 * N^2 / 2^36): workable to N ~ 10^11-10^12. Registered rows-only
+# (DuckDB has no xxhash64 with Spark's seed semantics, like
+# minhash_lsh_pairs_fast); pytest proves (a) pigeonhole exactness against
+# the in-Spark 64-bit quadratic form and (b) pair-set equivalence with the
+# 60-bit oracled operator on the corpus.
+SIMHASH64_BITS = 64
+N_MANKU64_BLOCKS = 7
+_MANKU64_PICK = 4  # = blocks - hamming_max: <=3 errors leave >=4 clean blocks
+_MANKU64_SIZES = [10, 9, 9, 9, 9, 9, 9]
+_MANKU64_STARTS = [sum(_MANKU64_SIZES[:i]) for i in range(N_MANKU64_BLOCKS)]
+
+
+def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash from xxhash64 token hashes — same folded JVM-side
+    aggregation shape as :func:`simhash_signatures` (64 bit-count
+    aggregates + token count, map-side combinable), no md5 hex-string
+    materialization. Bit 63's addend is Long.MIN_VALUE; partial sums of the
+    lower 63 bits stay < 2^63 so the fold never overflows (ANSI-safe)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.xxhash64(F.col("tok")))
+    )
+    aggs = [
+        F.sum(F.expr(f"cast(shiftright(h, {b}) & 1 as bigint)")).alias(f"c{b}")
+        for b in range(SIMHASH64_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n"), *aggs
+    )
+    sig_expr = " + ".join(
+        f"(case when 2 * c{b} - n >= 0 then shiftleft(1L, {b}) else 0L end)"
+        for b in range(SIMHASH64_BITS)
+    )
+    return per_doc.select(
+        "doc_id", F.expr(sig_expr).cast("bigint").alias("simhash")
+    )
+
+
+def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit Manku block-combination near-dup (production twin of
+    :func:`simhash_near_dup_manku`; module comment above). Exact at
+    hamming <= SIMHASH_BANDED_HAMMING_MAX by the same pigeonhole: <= 3 bit
+    errors corrupt <= 3 of the 7 blocks, so every qualifying pair agrees
+    exactly on some 4-block combination key."""
+    from itertools import combinations
+
+    sig = simhash64_signatures(spark, sf_dir)
+    structs = []
+    for cid, combo in enumerate(
+        combinations(range(N_MANKU64_BLOCKS), _MANKU64_PICK)
+    ):
+        shift = 0
+        parts = []
+        for b in combo:
+            mask = (1 << _MANKU64_SIZES[b]) - 1
+            parts.append(
+                f"shiftleft((simhash >> {_MANKU64_STARTS[b]}) & {mask}, {shift})"
+            )
+            shift += _MANKU64_SIZES[b]
+        structs.append(
+            F.struct(
+                F.lit(cid).alias("combo_id"),
+                F.expr(" + ".join(parts)).alias("combo_key"),
+            )
+        )
+    tabs = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("c")
+    ).select("doc_id", "simhash", "c.combo_id", "c.combo_key")
+    tabs = persist_intermediate(tabs)
+    a = tabs.alias("a")
+    b = tabs.alias("b")
+    cand = (
+        a.join(b, ["combo_id", "combo_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEST ORACLE ONLY: 64-bit quadratic all-pairs form (crossJoin) — the
+    in-Spark exactness ground truth for :func:`simhash64_near_dup`."""
+    sig = simhash64_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 MAX_SHINGLE_FREQ = 25  # FLOOR of the corpus-relative cap, see _shingle_cap
 
 

@@ -227,7 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_groups": dedup.prefix_dup_groups,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # xxhash64 hash family (JVM-intrinsic): the 100 TB production form;
-        # md5 above stays the DuckDB-parity oracle (rows-only here)
+        # hash-oracled since round 4 via generated inline XXH64 DuckDB SQL
+        # (functions/xxh64_sql.py)
         "minhash_lsh_pairs_fast": dedup.minhash_lsh_pairs_fast,
         "simhash_signatures": dedup.simhash_signatures,
         # NOTE round 2: the exact-quadratic forms (simhash_near_pairs,
@@ -239,8 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that survives past the banded form's 2^15 keyspace ceiling
         "simhash_near_dup_manku": dedup.simhash_near_dup_manku,
         # 64-bit xxhash64 production twin: C(7,4) tables on >= 2^36 keys —
-        # the 10^12-doc form (rows-only: DuckDB lacks Spark's xxhash64;
-        # pytest proves pigeonhole exactness + 60-bit pair equivalence)
+        # the 10^12-doc form; hash-oracled (generated XXH64 SQL + quadratic
+        # pair form); pytest additionally proves pigeonhole exactness
         "simhash64_near_dup": dedup.simhash64_near_dup,
         "ngram_jaccard_filtered": dedup.ngram_jaccard_filtered,
         "near_dup_clusters": dedup.near_dup_clusters,
@@ -293,6 +294,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": dedup.EXACT_DUP_SQL,
         "prefix_dup_groups": dedup.PREFIX_DUP_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        # xxhash64 operators: Spark's xxhash64 is XXH64 (pure 64-bit int
+        # arithmetic), generated as inline HUGEINT SQL — so the production
+        # hash family is itself hash-oracled, not just its md5 twin
+        "minhash_lsh_pairs_fast": dedup.MINHASH_LSH_FAST_SQL,
+        "simhash64_near_dup": dedup.SIMHASH64_NEAR_DUP_SQL,
         "simhash_signatures": dedup.SIMHASH_SQL,
         # banded simhash's oracle IS the quadratic form at the same
         # threshold: the band bucket-join is provably equivalent (pigeonhole)

@@ -718,6 +718,121 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DuckDB oracles for the xxhash64 family (round 4) ------------------------
+# Round 3 registered minhash_lsh_pairs_fast and (this round) simhash64 as
+# rows-only because DuckDB has no xxhash64.  But Spark's xxhash64 is plain
+# XXH64 with seed chaining — pure 64-bit integer arithmetic — so
+# functions/xxh64_sql.py GENERATES it as inline HUGEINT SQL (layered
+# nested projections; see that module's docstring for the
+# lateral-alias-substitution trap).  These mirrors make both operators
+# fully hash-oracled: the driver executes the generated SQL as one
+# statement and compares value hashes.
+
+def _minhash_fast_sql() -> str:
+    """DuckDB mirror of :func:`minhash_lsh_pairs_fast`: per-permutation
+    seeds are hashInt(s, 42) constants; the per-(shingle, seed) XXH64 byte
+    fold and the 2-long band-key chain are generated; banding + exact
+    jaccard verification are the same plan as the md5 oracle."""
+    from ..functions import xxh64_sql as X
+
+    seeds = [X.xxh64_int_py(s, X.SPARK_SEED) for s in range(N_MINHASH)]
+    fp = X.SqlFold("xp")
+    prep = X.prep_cols(fp, "shingle")
+    prep_keep = (
+        [prep["len"], prep["nw"], prep["has4"], prep["ntail"], prep["u32p"]]
+        + prep["ks"] + prep["tps"]
+    )
+    shw = fp.render(
+        "SELECT doc_id, shingle FROM sh", keep=["doc_id"] + prep_keep
+    )
+    fh = X.SqlFold("xf")
+    h = X.fold_bytes(fh, prep, "seed")
+    hsig = fh.sign(h)
+    seed_list = ", ".join(f"{c}::HUGEINT" for c in seeds)
+    hx = fh.render(
+        f"SELECT * FROM shw, (SELECT unnest(range({N_MINHASH})) AS s, "
+        f"unnest([{seed_list}]) AS seed)",
+        keep=["doc_id", "s", f"{hsig} AS hsig"],
+    )
+    fb = X.SqlFold("xb")
+    bh: str | int = X.SPARK_SEED
+    for i in range(BAND_ROWS):
+        bh = X.fold_long(fb, fb.unsign(f"m{i}"), bh)
+    bk = fb.render(
+        "SELECT * FROM mb", keep=["doc_id", "band_no", f"{bh} AS band_key"]
+    )
+    band_mins = ", ".join(
+        f"min(CASE WHEN s % {BAND_ROWS} = {i} THEN mh END) AS m{i}"
+        for i in range(BAND_ROWS)
+    )
+    return f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+shw AS MATERIALIZED ({shw}),
+hx AS ({hx}),
+mh AS (SELECT doc_id, s, min(hsig) AS mh FROM hx GROUP BY doc_id, s),
+mb AS (
+  SELECT doc_id, s // {BAND_ROWS} AS band_no, {band_mins}
+  FROM mh GROUP BY 1, 2
+),
+bk AS ({bk}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+{_VERIFY_SQL_TAIL.lstrip()}
+SELECT doc_a, doc_b FROM verified
+"""
+
+
+def _simhash64_sql() -> str:
+    """DuckDB mirror of :func:`simhash64_near_dup`: generated XXH64 token
+    hashes (seed 42), 64 bit votes, unsigned signature folded to Spark's
+    signed long, then the quadratic pair form — the oracle checks the
+    RESULT, not the Manku join strategy (same contract as the 60-bit
+    family, whose oracle is also the quadratic form)."""
+    from ..functions import xxh64_sql as X
+
+    ft = X.SqlFold("xt")
+    prep = X.prep_cols(ft, "tok")
+    h = X.fold_bytes(ft, prep, str(X.SPARK_SEED))
+    th = ft.render(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents",
+        keep=["doc_id", f"{h} AS h"],
+    )
+    return f"""
+WITH th AS MATERIALIZED ({th}),
+bits AS (
+  SELECT doc_id, b, sum(2 * ((h >> b) & 1)::BIGINT - 1) AS sv
+  FROM th, (SELECT unnest(range({SIMHASH64_BITS})) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN sv >= 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+           AS hs
+  FROM bits GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         (CASE WHEN hs >= {1 << 63} THEN hs - {1 << 64} ELSE hs END)::BIGINT
+           AS simhash
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDED_HAMMING_MAX}
+"""
+
+
+MINHASH_LSH_FAST_SQL = _minhash_fast_sql()
+SIMHASH64_NEAR_DUP_SQL = _simhash64_sql()
+
+
 MAX_SHINGLE_FREQ = 25  # FLOOR of the corpus-relative cap, see _shingle_cap
 
 

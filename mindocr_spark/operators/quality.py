@@ -282,7 +282,7 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _training_corpus_sql() -> str:
-    from .dedup import N_BANDS, N_MINHASH, _SHINGLES_SQL
+    from .dedup import N_BANDS, N_MINHASH, _SHINGLES_SQL, _VERIFY_SQL_TAIL
 
     mh_cols = ", ".join(
         f"min(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
@@ -296,11 +296,15 @@ WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
 sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
 mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, unnest([{band_cols}]) AS band FROM mh),
-pr AS (
+cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+{_VERIFY_SQL_TAIL.lstrip()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
+),
 reach(doc_id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION

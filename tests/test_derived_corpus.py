@@ -86,7 +86,10 @@ def test_queries_oracle_keys_consistent():
     osql = mod.oracle_sql()
     assert set(osql) <= set(qs)
     # every query except these has a DuckDB oracle (round 2: the flagship
-    # extraction gained a full end-to-end oracle, EXTRACT_ORACLE_SQL)
+    # extraction gained a full end-to-end oracle, EXTRACT_ORACLE_SQL;
+    # round 4: the xxhash64 family gained generated-XXH64 oracles, so only
+    # the OCR-pipeline byproducts remain rows-only — their "oracle" is the
+    # pytest golden suite, not SQL)
     no_oracle = set(qs) - set(osql)
     assert no_oracle == {
         "ocr_golden_records",
@@ -94,7 +97,6 @@ def test_queries_oracle_keys_consistent():
         "ocr_eval_selftest",
         "media_health",
         "tensor_stage_checksums",
-        "minhash_lsh_pairs_fast",
     }
 
 

@@ -178,7 +178,10 @@ def main() -> None:
                     t_hi, _ = _run_extraction_throughput(hi, corpus_dir)
                     samples.append((t_lo, t_hi, (t_lo / t_hi) / (hi / lo)))
                 samples.sort(key=lambda s: s[2])
-                t_lo, t_hi, eff = samples[len(samples) // 2]
+                # lower-median: for even sample counts len//2 picks the
+                # HIGHER of the two middle ratios, biasing the headline
+                # scaling efficiency upward (round-3 advice)
+                t_lo, t_hi, eff = samples[(len(samples) - 1) // 2]
                 out["scaling"].append(
                     {
                         "cores_lo": lo,

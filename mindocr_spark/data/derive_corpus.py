@@ -259,14 +259,44 @@ def derive_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return spans, media
 
 
-# sf_dir -> materialized corpus dir. The derived corpus is a pure
-# deterministic function of the documents table, so per process it is
-# rendered ONCE to local parquet and read back: every consumer (both
-# flagships, golden/meta/health queries) then times extraction from a
-# STORED interleaved table — the north-rule shape (the job reads an
-# Iceberg table; it does not synthesize its input) — instead of paying
-# the PNG/PDF render again inside every timed query.
-_CORPUS_CACHE: dict[str, str] = {}
+# (sf_dir, documents.parquet mtime) -> materialized corpus dir. The
+# derived corpus is a pure deterministic function of the documents table,
+# so per process it is rendered ONCE to parquet and read back: every
+# consumer (both flagships, golden/meta/health queries) then times
+# extraction from a STORED interleaved table — the north-rule shape (the
+# job reads an Iceberg table; it does not synthesize its input) — instead
+# of paying the PNG/PDF render again inside every timed query.
+#
+# Cluster contract (round 4): the memo root is configurable via
+# MINDOCR_CORPUS_MEMO_DIR. The default is a per-process local tempdir —
+# correct on a single driver, WRONG for multi-driver or restart scenarios
+# (another driver cannot see a local path); point the env var at shared
+# storage (HDFS/NFS/object-store mount) there. Keying on the source
+# table's mtime means an in-process rewrite of documents.parquet renders
+# a fresh corpus instead of serving a stale memo; locally-created
+# tempdirs are removed at interpreter exit.
+_CORPUS_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _memo_dir(sf_dir: str, mtime: float) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.environ.get("MINDOCR_CORPUS_MEMO_DIR")
+    if root:
+        import hashlib
+
+        # deterministic digest (NOT Python hash(): PYTHONHASHSEED
+        # randomization would give each driver a different memo path)
+        tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:16]
+        out = os.path.join(root, f"derived_{tag}")
+        os.makedirs(out, exist_ok=True)
+        return out
+    out = tempfile.mkdtemp(prefix="mindocr_derived_corpus_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
 
 
 def derive_corpus(
@@ -276,17 +306,26 @@ def derive_corpus(
         return derive_from_docs(
             spark.read.parquet(f"{sf_dir}/documents.parquet")
         )
-    if sf_dir not in _CORPUS_CACHE:
-        import tempfile
+    import os
 
-        out = tempfile.mkdtemp(prefix="mindocr_derived_corpus_")
-        spans, media = derive_from_docs(
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, mtime)
+    if key not in _CORPUS_CACHE:
+        out = _memo_dir(sf_dir, mtime)
+        done = all(
+            os.path.exists(f"{out}/{p}/_SUCCESS")
+            for p in ("documents_spans.parquet", "media.parquet")
         )
-        spans.write.mode("overwrite").parquet(f"{out}/documents_spans.parquet")
-        media.write.mode("overwrite").parquet(f"{out}/media.parquet")
-        _CORPUS_CACHE[sf_dir] = out
-    out = _CORPUS_CACHE[sf_dir]
+        if not done:  # restart against a shared memo skips the render
+            spans, media = derive_from_docs(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+            )
+            spans.write.mode("overwrite").parquet(
+                f"{out}/documents_spans.parquet"
+            )
+            media.write.mode("overwrite").parquet(f"{out}/media.parquet")
+        _CORPUS_CACHE[key] = out
+    out = _CORPUS_CACHE[key]
     return (
         spark.read.parquet(f"{out}/documents_spans.parquet"),
         spark.read.parquet(f"{out}/media.parquet"),

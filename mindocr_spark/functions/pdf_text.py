@@ -18,6 +18,7 @@ import re
 import zlib
 
 _STREAM_ANCHOR_RE = re.compile(rb">>\s*stream(?:\r\n|\n)")
+_ENDSTREAM_RE = re.compile(rb"\s*endstream")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 # '/Length 12 0 R' is an indirect reference to another object, not a byte
 # count — the digits after the keyword are the OBJECT NUMBER
@@ -102,7 +103,10 @@ def extract_pdf_text(data: bytes) -> str:
             # in 0x0d, which an `\r?\nendstream` delimiter regex would
             # swallow). Trust it only if 'endstream' actually follows.
             length = int(lm.group(1))
-            if re.match(rb"\s*endstream", data[start + length :]):
+            # match at a position, not on a slice: slicing copies the
+            # whole remaining buffer per stream — O(n^2) bytes on PDFs
+            # with many streams (round-3 advice)
+            if _ENDSTREAM_RE.match(data, start + length):
                 body = data[start : start + length]
                 raw_end = start + length
         if body is None:

@@ -879,7 +879,9 @@ def _jaccard_near_dup(docs: DataFrame, t_pct: int = 12) -> DataFrame:
     cap = _shingle_cap(docs.count())
     sh = persist_intermediate(_shingles(docs))  # feeds freq AND kept
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = sh.join(freq.filter(F.col("df") <= cap), "shingle")
+    # persisted: sizes + both self-join sides consume kept, and without
+    # the cache each re-runs the freq groupBy shuffle (round-3 advice)
+    kept = persist_intermediate(sh.join(freq.filter(F.col("df") <= cap), "shingle"))
     if t_pct >= PREFIX_FILTER_MIN_PCT:
         return _jaccard_prefix_verified(kept, t_pct)
     return _jaccard_direct(kept, t_pct)

@@ -107,9 +107,12 @@ def test_derive_corpus_memoization_exact(spark):
     flagship queries from the oracle."""
     from mindocr_spark.data import derive_corpus as dc
 
+    import os
+
     cached_spans, cached_media = dc.derive_corpus(spark, SF_DIR)
     fresh_spans, fresh_media = dc.derive_corpus(spark, SF_DIR, materialize=False)
-    assert SF_DIR in dc._CORPUS_CACHE
+    mtime = os.path.getmtime(f"{SF_DIR}/documents.parquet")
+    assert (SF_DIR, mtime) in dc._CORPUS_CACHE
 
     cs = cached_spans.selectExpr("doc_id", "to_json(spans) AS s").toPandas()
     fs = fresh_spans.selectExpr("doc_id", "to_json(spans) AS s").toPandas()
@@ -125,3 +128,32 @@ def test_derive_corpus_memoization_exact(spark):
         (a is None and b is None) or bytes(a) == bytes(b)
         for a, b in zip(cm["image"], fm["image"])
     )
+
+
+def test_derive_corpus_shared_memo_dir(spark, tmp_path, monkeypatch):
+    """The cluster contract: with MINDOCR_CORPUS_MEMO_DIR set, the memo
+    lands under that root at a deterministic path, and a cold process
+    (cache cleared) serves the already-rendered parquet without
+    re-deriving — the multi-driver / restart scenario."""
+    import os
+
+    from mindocr_spark.data import derive_corpus as dc
+
+    monkeypatch.setenv("MINDOCR_CORPUS_MEMO_DIR", str(tmp_path))
+    monkeypatch.setattr(dc, "_CORPUS_CACHE", {})
+    spans1, _ = dc.derive_corpus(spark, SF_DIR)
+    n1 = spans1.count()
+    memo_dirs = os.listdir(tmp_path)
+    assert len(memo_dirs) == 1 and memo_dirs[0].startswith("derived_")
+    # simulate a restarted driver: empty cache, memo already on disk
+    monkeypatch.setattr(dc, "_CORPUS_CACHE", {})
+    monkeypatch.setattr(
+        dc, "derive_from_docs",
+        lambda *_: (_ for _ in ()).throw(
+            AssertionError("restart must not re-render a present memo")
+        ),
+    )
+    spans2, media2 = dc.derive_corpus(spark, SF_DIR)
+    assert spans2.count() == n1
+    assert media2.count() > 0
+    assert os.listdir(tmp_path) == memo_dirs

@@ -191,7 +191,13 @@ def _tensor_stage_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from mindocr_spark.operators import dedup, quality, relational, similarity
+    from mindocr_spark.operators import (
+        dedup,
+        kie,
+        quality,
+        relational,
+        similarity,
+    )
 
     return {
         # flagship extraction pipeline (non-SQL: OCR kernels; oracle lives in
@@ -259,11 +265,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": quality.stratified_sample,
         # capstone compose: dedup keepers x quality floor x lang allowlist
         "training_corpus_filter": quality.training_corpus_filter,
+        # KIE (SER/RE) decode + metrics (round 4, verdict top-missing):
+        # majority-vote segment decode, seqeval entity P/R/F1, RE pair
+        # metric — all pure Catalyst over a deterministic token table
+        "ser_entity_labels": kie.ser_entity_labels,
+        "ser_seqeval_metric": kie.ser_seqeval_metric,
+        "re_link_metric": kie.re_link_metric,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from mindocr_spark.operators import dedup, quality, relational, similarity
+    from mindocr_spark.operators import (
+        dedup,
+        kie,
+        quality,
+        relational,
+        similarity,
+    )
 
     from mindocr_spark.plans.extract import EXTRACT_ORACLE_SQL
 
@@ -319,4 +337,9 @@ def oracle_sql() -> dict[str, str]:
         "top_distinctive_terms": quality.TOP_TERMS_SQL,
         "stratified_sample": quality.STRATIFIED_SAMPLE_SQL,
         "training_corpus_filter": quality.TRAINING_CORPUS_SQL,
+        # KIE: engine-exact integer arithmetic end to end (windowed BIO
+        # chunking, majority vote, basis-point metrics)
+        "ser_entity_labels": kie.SER_ENTITY_LABELS_SQL,
+        "ser_seqeval_metric": kie.SER_SEQEVAL_SQL,
+        "re_link_metric": kie.RE_LINK_SQL,
     }

@@ -1,0 +1,405 @@
+"""SER/RE (key information extraction) operators (round 4).
+
+The reference drives KIE with LayoutLM-family NN heads; per SURVEY §2.13
+this engine replaces NN scoring with deterministic scorers and keeps the
+DECODE + METRIC semantics exact (same treatment as det/rec/cls):
+
+- ``ser_entity_labels``   — the SER inference decode: per-segment
+  majority vote over folded token label ids
+  (``mindocr/postprocess/kie_ser_postprocess.py:58-83``), ties to the
+  lowest id.  Pure Catalyst: groupBy count + row_number.
+- ``ser_seqeval_metric``  — entity-level precision/recall/F1 over the
+  token-level BIO sequences (``mindocr/metrics/kie_metrics.py:17-67``,
+  the seqeval semantics): chunk extraction is a windowed cumulative sum
+  of chunk-start flags, exact-span tp join, integer basis points.
+- ``re_link_metric``      — the RE binary pair-classification metric
+  (``mindocr/metrics/kie_metrics.py:70-104``): bounded candidate pair
+  join, binary precision/recall/F1 in basis points.
+
+The token/segment table derives deterministically from ``documents`` by
+integer arithmetic only (doc_id/pos mod mixes), so Spark and DuckDB agree
+bit-for-bit — every query here is fully hash-oracled.  The deterministic
+"model" corrupts the ground truth on a fixed schedule (class flips +
+B-prefix glitches), so metrics are strictly between 0 and 1 and the
+seqeval chunk-start rules (I after O, type change mid-chunk) are
+actually exercised.
+
+Scale shape: everything is windows partitioned by doc_id, map-side
+combinable aggregations, and equi-joins on (doc_id, ...) — no UDFs, no
+skew (segment fan-out is bounded by document length; the RE candidate
+join is capped at |q_seg - a_seg| <= 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# XFUND's class set (minus OTHER, which bio_label_maps skips);
+# folded ids: O=0, B-QUESTION=1, B-ANSWER=3, B-HEADER=5
+CLASSES = ["QUESTION", "ANSWER", "HEADER"]
+O_CLASS = len(CLASSES)  # class_idx 3 encodes "O"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def ser_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, segment_id, seg_start, gt_class, gt_prefix,
+    pred_class, pred_prefix) — the deterministic SER token table.
+
+    gt: segments of 1+ tokens (new segment when (doc_id*37+pos)%4==0),
+    class per segment from (doc_id + segment_id*7)%4 with 3 = O, B at
+    segment starts.  pred: gt with class flips on (doc_id*13+pos*7)%11==5
+    and spurious B prefixes on (doc_id*29+pos*3)%13==7 — the structured
+    noise a real token classifier produces."""
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).drop("tok")
+    t = t.withColumn(
+        "seg_start",
+        (F.col("pos") == 0)
+        | ((F.col("doc_id") * 37 + F.col("pos")) % 4 == 0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn(
+        "segment_id", F.sum(F.col("seg_start").cast("long")).over(w)
+    )
+    t = t.withColumn(
+        "gt_class", (F.col("doc_id") + F.col("segment_id") * 7) % 4
+    )
+    flip = (F.col("doc_id") * 13 + F.col("pos") * 7) % 11 == 5
+    t = t.withColumn(
+        "pred_class",
+        F.when(
+            flip, (F.col("gt_class") + 1 + F.col("pos") % 2) % 4
+        ).otherwise(F.col("gt_class")),
+    )
+    force_b = (F.col("doc_id") * 29 + F.col("pos") * 3) % 13 == 7
+    t = t.withColumn(
+        "gt_prefix", F.when(F.col("seg_start"), F.lit("B")).otherwise(F.lit("I"))
+    )
+    t = t.withColumn(
+        "pred_prefix",
+        F.when(F.col("seg_start") | force_b, F.lit("B")).otherwise(F.lit("I")),
+    )
+    return t
+
+
+_TOKENS_SQL = """
+tok0 AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tok1 AS (
+  SELECT doc_id, pos,
+         (pos = 0 OR (doc_id * 37 + pos) % 4 = 0) AS seg_start
+  FROM tok0
+),
+tok2 AS (
+  SELECT doc_id, pos, seg_start,
+         sum(CASE WHEN seg_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS segment_id
+  FROM tok1
+),
+toks AS (
+  SELECT doc_id, pos, seg_start, segment_id,
+         (doc_id + segment_id * 7) % 4 AS gt_class,
+         CASE WHEN (doc_id * 13 + pos * 7) % 11 = 5
+              THEN ((doc_id + segment_id * 7) % 4 + 1 + pos % 2) % 4
+              ELSE (doc_id + segment_id * 7) % 4 END AS pred_class,
+         CASE WHEN seg_start THEN 'B' ELSE 'I' END AS gt_prefix,
+         CASE WHEN seg_start OR (doc_id * 29 + pos * 3) % 13 = 7
+              THEN 'B' ELSE 'I' END AS pred_prefix
+  FROM tok2
+)"""
+
+
+def ser_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SER decode: one row per segment with the majority-voted folded
+    label id and its display label (kie_ser_postprocess.py:58-83; ties
+    to the lowest id = numpy bincount+argmax)."""
+    t = ser_tokens(_docs(spark, sf_dir))
+    votes = (
+        t.withColumn(
+            "fold_id",
+            F.when(F.col("pred_class") == O_CLASS, F.lit(0)).otherwise(
+                1 + 2 * F.col("pred_class")
+            ),
+        )
+        .groupBy("doc_id", "segment_id", "fold_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wv = Window.partitionBy("doc_id", "segment_id").orderBy(
+        F.desc("cnt"), F.asc("fold_id")
+    )
+    label = F.when(F.col("fold_id") == 0, F.lit("O"))
+    for i, c in enumerate(CLASSES):
+        label = label.when(F.col("fold_id") == 1 + 2 * i, F.lit(c))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "segment_id",
+            F.col("fold_id").cast("long").alias("pred_id"),
+            label.alias("pred_label"),
+        )
+    )
+
+
+def _label_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {1 + 2 * i} THEN '{c}'" for i, c in enumerate(CLASSES)
+    )
+    return f"CASE WHEN {col} = 0 THEN 'O' {whens} END"
+
+
+SER_ENTITY_LABELS_SQL = f"""
+WITH {_TOKENS_SQL.lstrip()},
+votes AS (
+  SELECT doc_id, segment_id,
+         CASE WHEN pred_class = {O_CLASS} THEN 0
+              ELSE 1 + 2 * pred_class END AS fold_id,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id, segment_id, fold_id,
+         row_number() OVER (PARTITION BY doc_id, segment_id
+                            ORDER BY cnt DESC, fold_id ASC) AS rn
+  FROM votes
+)
+SELECT doc_id, segment_id, fold_id::BIGINT AS pred_id,
+       {_label_case("fold_id")} AS pred_label
+FROM top WHERE rn = 1
+"""
+
+
+def _entities(t: DataFrame, prefix: str, cls: str) -> DataFrame:
+    """BIO chunk extraction (seqeval rules) from (prefix, class) columns:
+    a chunk starts at B, at I after O, or on a mid-chunk type change."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag(F.col(cls)).over(w)
+    is_ent = F.col(cls) != O_CLASS
+    begins = is_ent & (
+        (F.col(prefix) == "B")
+        | prev.isNull()
+        | (prev == O_CLASS)
+        | (prev != F.col(cls))
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ent = (
+        t.withColumn("begins", begins)
+        .withColumn("ent_id", F.sum(F.col("begins").cast("long")).over(wc))
+        .filter(is_ent)
+        .groupBy("doc_id", "ent_id")
+        .agg(
+            F.min(cls).alias("cls"),
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+        )
+    )
+    return ent
+
+
+def ser_seqeval_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level P/R/F1 of the token-level pred BIO sequence against
+    gt (VQASerTokenMetric / seqeval semantics), as integer basis points.
+
+    NOTE a chunk interrupted by a class flip contributes its fragments,
+    exactly as seqeval scores a real token classifier's output."""
+    t = ser_tokens(_docs(spark, sf_dir))
+    gt = _entities(t, "gt_prefix", "gt_class")
+    pred = _entities(t, "pred_prefix", "pred_class")
+    tp = pred.join(gt, ["doc_id", "cls", "start_pos", "end_pos"], "inner")
+    counts = (
+        tp.agg(F.count("*").alias("tp"))
+        .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+        .crossJoin(gt.agg(F.count("*").alias("n_gt")))
+    )
+    return counts.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_gt").cast("long").alias("n_gt"),
+        F.expr("(10000 * tp) div n_pred").alias("precision_bp"),
+        F.expr("(10000 * tp) div n_gt").alias("recall_bp"),
+        F.expr("(20000 * tp) div (n_pred + n_gt)").alias("hmean_bp"),
+    )
+
+
+def _entities_sql(name: str, prefix: str, cls: str) -> str:
+    return f"""
+{name}0 AS (
+  SELECT doc_id, pos, {cls} AS cls,
+         ({cls} != {O_CLASS} AND (
+            {prefix} = 'B'
+            OR lag({cls}) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+            OR lag({cls}) OVER (PARTITION BY doc_id ORDER BY pos) = {O_CLASS}
+            OR lag({cls}) OVER (PARTITION BY doc_id ORDER BY pos) != {cls}
+         )) AS begins
+  FROM toks
+),
+{name}1 AS (
+  SELECT doc_id, pos, cls, begins,
+         sum(CASE WHEN begins THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS ent_id
+  FROM {name}0
+),
+{name} AS (
+  SELECT doc_id, ent_id, min(cls) AS cls,
+         min(pos) AS start_pos, max(pos) AS end_pos
+  FROM {name}1 WHERE cls != {O_CLASS}
+  GROUP BY doc_id, ent_id
+)"""
+
+
+SER_SEQEVAL_SQL = f"""
+WITH {_TOKENS_SQL.lstrip()},
+{_entities_sql("gt_ents", "gt_prefix", "gt_class").lstrip()},
+{_entities_sql("pred_ents", "pred_prefix", "pred_class").lstrip()},
+agg AS (
+  SELECT
+    (SELECT count(*) FROM pred_ents p JOIN gt_ents g
+       ON p.doc_id = g.doc_id AND p.cls = g.cls
+      AND p.start_pos = g.start_pos AND p.end_pos = g.end_pos)::BIGINT AS tp,
+    (SELECT count(*) FROM pred_ents)::BIGINT AS n_pred,
+    (SELECT count(*) FROM gt_ents)::BIGINT AS n_gt
+)
+SELECT tp, n_pred, n_gt,
+       ((10000 * tp) // n_pred)::BIGINT AS precision_bp,
+       ((10000 * tp) // n_gt)::BIGINT AS recall_bp,
+       ((20000 * tp) // (n_pred + n_gt))::BIGINT AS hmean_bp
+FROM agg
+"""
+
+
+RE_MAX_SEG_DISTANCE = 2  # candidate pair window: bounded join fan-out
+
+
+def re_link_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE binary pair-classification metric (VQAReTokenMetric,
+    kie_metrics.py:70-104): question x answer segment candidates within
+    +-{RE_MAX_SEG_DISTANCE} segments, deterministic gt/pred link labels,
+    binary precision/recall/F1 in basis points."""
+    t = ser_tokens(_docs(spark, sf_dir))
+    segs = t.select("doc_id", "segment_id", "gt_class").distinct()
+    q = segs.filter(F.col("gt_class") == 0).select(
+        "doc_id", F.col("segment_id").alias("q_seg")
+    )
+    a = segs.filter(F.col("gt_class") == 1).select(
+        "doc_id", F.col("segment_id").alias("a_seg")
+    )
+    pairs = q.join(a, "doc_id").filter(
+        F.abs(F.col("q_seg") - F.col("a_seg")) <= RE_MAX_SEG_DISTANCE
+    )
+    gt = (F.col("doc_id") + F.col("q_seg") * 3 + F.col("a_seg")) % 3 == 0
+    noise = (F.col("doc_id") * 11 + F.col("q_seg") + F.col("a_seg") * 5) % 13 == 4
+    pairs = pairs.withColumn("gt_link", gt).withColumn(
+        "pred_link", gt != noise
+    )
+    agg = pairs.agg(
+        F.sum((F.col("pred_link") & F.col("gt_link")).cast("long")).alias("tp"),
+        F.sum((F.col("pred_link") & ~F.col("gt_link")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred_link") & F.col("gt_link")).cast("long")).alias("fn"),
+    )
+    return agg.select(
+        "tp", "fp", "fn",
+        F.expr("(10000 * tp) div (tp + fp)").alias("precision_bp"),
+        F.expr("(10000 * tp) div (tp + fn)").alias("recall_bp"),
+        F.expr("(20000 * tp) div (2 * tp + fp + fn)").alias("hmean_bp"),
+    )
+
+
+RE_LINK_SQL = f"""
+WITH {_TOKENS_SQL.lstrip()},
+segs AS (SELECT DISTINCT doc_id, segment_id, gt_class FROM toks),
+pairs AS (
+  SELECT q.doc_id, q.segment_id AS q_seg, a.segment_id AS a_seg,
+         (q.doc_id + q.segment_id * 3 + a.segment_id) % 3 = 0 AS gt_link,
+         ((q.doc_id + q.segment_id * 3 + a.segment_id) % 3 = 0)
+           != ((q.doc_id * 11 + q.segment_id + a.segment_id * 5) % 13 = 4)
+           AS pred_link
+  FROM segs q JOIN segs a
+    ON q.doc_id = a.doc_id AND q.gt_class = 0 AND a.gt_class = 1
+   AND abs(q.segment_id - a.segment_id) <= {RE_MAX_SEG_DISTANCE}
+),
+agg AS (
+  SELECT sum(CASE WHEN pred_link AND gt_link THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN pred_link AND NOT gt_link THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN NOT pred_link AND gt_link THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM pairs
+)
+SELECT tp, fp, fn,
+       ((10000 * tp) // (tp + fp))::BIGINT AS precision_bp,
+       ((10000 * tp) // (tp + fn))::BIGINT AS recall_bp,
+       ((20000 * tp) // (2 * tp + fp + fn))::BIGINT AS hmean_bp
+FROM agg
+"""
+
+
+def ser_decode_xfund(spark: SparkSession, path: str) -> DataFrame:
+    """SER decode over a real XFUND annotation file: tokenizes each
+    entity's text, derives deterministic token predictions (the stand-in
+    for the LayoutLM head, per §2.13), majority-votes per entity — the
+    ``predict_ser.py`` flow with the same decode kernel semantics."""
+    from ..sources.datasets import read_xfund
+
+    ents = read_xfund(spark, path).select(
+        "doc_id", "entity_id", "label", "text"
+    )
+    t = ents.select(
+        "doc_id",
+        "entity_id",
+        "label",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    # deterministic token classifier: hash the token into a class, biased
+    # to the gt label so the decode is meaningful (mostly-correct model)
+    gt_idx = F.when(F.lower("label") == "question", 0).when(
+        F.lower("label") == "answer", 1
+    ).when(F.lower("label") == "header", 2).otherwise(3)
+    noisy = F.abs(F.xxhash64("tok", "entity_id")) % 5 == 0
+    pred_class = F.when(
+        noisy, (gt_idx + 1 + F.col("pos") % 2) % 4
+    ).otherwise(gt_idx)
+    votes = (
+        t.withColumn(
+            "fold_id",
+            F.when(pred_class == O_CLASS, F.lit(0)).otherwise(
+                1 + 2 * pred_class
+            ),
+        )
+        .groupBy("doc_id", "entity_id", "fold_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wv = Window.partitionBy("doc_id", "entity_id").orderBy(
+        F.desc("cnt"), F.asc("fold_id")
+    )
+    label = F.when(F.col("fold_id") == 0, F.lit("O"))
+    for i, c in enumerate(CLASSES):
+        label = label.when(F.col("fold_id") == 1 + 2 * i, F.lit(c))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "entity_id",
+            F.col("fold_id").cast("long").alias("pred_id"),
+            label.alias("pred_label"),
+        )
+    )

@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ser_entity_labels": kie.ser_entity_labels,
         "ser_seqeval_metric": kie.ser_seqeval_metric,
         "re_link_metric": kie.re_link_metric,
+        # Gopher repetition family (round 4): dup/top n-gram fractions in
+        # integer basis points + the threshold composition filter
+        "gopher_repetition": quality.gopher_repetition,
+        "gopher_quality_filter": quality.gopher_quality_filter,
     }
 
 
@@ -342,4 +346,6 @@ def oracle_sql() -> dict[str, str]:
         "ser_entity_labels": kie.SER_ENTITY_LABELS_SQL,
         "ser_seqeval_metric": kie.SER_SEQEVAL_SQL,
         "re_link_metric": kie.RE_LINK_SQL,
+        "gopher_repetition": quality.GOPHER_REPETITION_SQL,
+        "gopher_quality_filter": quality.GOPHER_FILTER_SQL,
     }

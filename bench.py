@@ -28,9 +28,11 @@ HEADLINE = [
     "ngram_jaccard_filtered",
     "simhash_near_dup_banded",
     "simhash_near_dup_manku",
+    "simhash64_near_dup",
     "embedding_near_dup_lsh",
     "cosine_topk",
     "quality_scores",
+    "ser_seqeval_metric",
 ]
 
 

@@ -334,3 +334,144 @@ WHERE q.quality_milli >= {TRAINING_MIN_QUALITY} AND doc.lang IN ({langs})
 
 
 TRAINING_CORPUS_SQL = _training_corpus_sql()
+
+
+# --- Gopher-style repetition signals (round 4) -------------------------------
+# The repetition family from the Gopher data pipeline (Rae et al. 2021,
+# arXiv:2112.11446, Appendix A1.1): documents dominated by repeated
+# n-grams are low-quality for LM training. Per document and n in {2,3,4}:
+#   dup{n}_bp = 10000 * (total n-grams - distinct n-grams) / total
+#   top{n}_bp = 10000 * (count of the most frequent n-gram) / total
+# Integer basis points (floor division) so Spark and DuckDB agree exactly.
+# Gopher measures character-fractions with thresholds like top-2-gram
+# <= 0.20; this synthetic corpus is far less repetitive (measured sf0.01
+# medians: dup2 2.8%, top2 3.3%), so GOPHER_KEEP_BP below are calibrated
+# to the corpus scale — the operator contract (score definitions,
+# composition shape) is the Gopher recipe, the constants are data-scale
+# choices a real pipeline tunes the same way.
+
+GOPHER_NGRAMS = (2, 3, 4)
+GOPHER_KEEP_BP = {  # keep docs with score <= threshold
+    "dup2_bp": 800, "top2_bp": 900,
+    "dup3_bp": 400, "top3_bp": 700,
+    "dup4_bp": 300, "top4_bp": 700,
+}
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gopher_repetition(_docs(spark, sf_dir))
+
+
+def _gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Per-doc duplicate/top n-gram fractions in basis points.
+
+    Plan shape: ONE explode emits (doc_id, n, gram) for all three n (a
+    flattened array of structs — no self-union, the corpus is scanned
+    once), then two map-side-combinable aggregations; the final pivot is
+    conditional aggregation, not a shuffle. Documents shorter than n
+    tokens contribute their single truncated gram (same `greatest(...,1)`
+    convention as the dedup shingles), so total >= 1 and the floor-div
+    never sees zero."""
+    grams_expr = "flatten(array(" + ", ".join(
+        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+        f"i -> struct({n} as n, concat_ws(' ', slice(toks, i, {n})) as gram))"
+        for n in GOPHER_NGRAMS
+    ) + "))"
+    g = (
+        docs
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
+        .select("doc_id", "g.n", "g.gram")
+    )
+    per_n = (
+        g.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count("*").alias("distinct_g"),
+            F.max("c").alias("maxc"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr("(10000 * (total - distinct_g)) div total").alias("dup_bp"),
+            F.expr("(10000 * maxc) div total").alias("top_bp"),
+        )
+    )
+    aggs = []
+    for n in GOPHER_NGRAMS:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_bp"))).alias(f"dup{n}_bp")
+        )
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("top_bp"))).alias(f"top{n}_bp")
+        )
+    return per_n.groupBy("doc_id").agg(*aggs)
+
+
+def _gopher_grams_sql() -> str:
+    per_n = []
+    for n in GOPHER_NGRAMS:
+        per_n.append(f"""
+  SELECT doc_id, {n} AS n, unnest([
+    array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' ')
+    for i in range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1)
+  ]) AS gram FROM documents""")
+    return " UNION ALL ".join(per_n)
+
+
+def _gopher_rep_sql_core() -> str:
+    pivots = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dup_bp END)::BIGINT AS dup{n}_bp, "
+        f"max(CASE WHEN n = {n} THEN top_bp END)::BIGINT AS top{n}_bp"
+        for n in GOPHER_NGRAMS
+    )
+    return f"""
+grams AS ({_gopher_grams_sql()}),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+per_n AS (
+  SELECT doc_id, n,
+         (10000 * (sum(c) - count(*))) // sum(c) AS dup_bp,
+         (10000 * max(c)) // sum(c) AS top_bp
+  FROM cnt GROUP BY doc_id, n
+),
+rep AS (SELECT doc_id, {pivots} FROM per_n GROUP BY doc_id)"""
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH {_gopher_rep_sql_core().lstrip()}
+SELECT * FROM rep
+"""
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving every repetition threshold (the Gopher
+    composition: a doc is dropped on its FIRST failing signal). One
+    equi-join on doc_id against the scores — co-partitioned under
+    doc_id bucketing, same shape as training_corpus_filter."""
+    rep = gopher_repetition(spark, sf_dir)
+    cond = None
+    for col, bp in GOPHER_KEEP_BP.items():
+        c = F.col(col) <= bp
+        cond = c if cond is None else (cond & c)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return docs.join(rep.filter(cond), "doc_id").select(
+        "doc_id", "lang", *GOPHER_KEEP_BP.keys()
+    )
+
+
+def _gopher_filter_sql() -> str:
+    conds = " AND ".join(
+        f"rep.{col} <= {bp}" for col, bp in GOPHER_KEEP_BP.items()
+    )
+    cols = ", ".join(f"rep.{c}" for c in GOPHER_KEEP_BP)
+    return f"""
+WITH {_gopher_rep_sql_core().lstrip()}
+SELECT d.doc_id, d.lang, {cols}
+FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+WHERE {conds}
+"""
+
+
+GOPHER_FILTER_SQL = _gopher_filter_sql()

@@ -1,0 +1,58 @@
+"""Gopher repetition-signal tests: hand-computed fixtures pin the score
+definitions (dup/top n-gram fractions, floor-div basis points, the
+short-doc truncated-gram convention); the driver's DuckDB hash oracle
+pins Spark==DuckDB on the corpus."""
+
+from mindocr_spark.operators import quality as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rep_rows(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r.doc_id: r.asDict() for r in Q._gopher_repetition(docs).collect()}
+
+
+def test_gopher_scores_hand_computed(spark):
+    rows = _rep_rows(spark, [
+        "a b a b a b",      # doc 0: heavy 2-gram repetition
+        "a b c d e f",      # doc 1: no repetition
+        "x x x x",          # doc 2: a single repeated token
+    ])
+    # doc 0: 2-grams of "a b a b a b" = [ab, ba, ab, ba, ab] -> total 5,
+    # distinct 2, max 3 -> dup = 10000*3//5 = 6000, top = 10000*3//5 = 6000
+    assert rows[0]["dup2_bp"] == 6000 and rows[0]["top2_bp"] == 6000
+    # doc 0 3-grams: [aba, bab, aba, bab] -> dup 10000*2//4=5000, top 5000
+    assert rows[0]["dup3_bp"] == 5000 and rows[0]["top3_bp"] == 5000
+    # doc 1: all n-grams distinct
+    assert rows[1]["dup2_bp"] == 0 and rows[1]["dup3_bp"] == 0
+    assert rows[1]["top2_bp"] == 10000 * 1 // 5  # 5 distinct 2-grams
+    # doc 2: "x x x x" -> 2-grams [xx,xx,xx]: dup 6666, top 10000
+    assert rows[2]["dup2_bp"] == 6666 and rows[2]["top2_bp"] == 10000
+
+
+def test_gopher_short_doc_truncated_gram(spark):
+    # single-token doc: every n falls back to one truncated gram
+    # (greatest(size-n+1, 1) = 1), total=1 distinct=1 max=1
+    rows = _rep_rows(spark, ["solo"])
+    for n in Q.GOPHER_NGRAMS:
+        assert rows[0][f"dup{n}_bp"] == 0
+        assert rows[0][f"top{n}_bp"] == 10000
+
+
+def test_gopher_filter_composition(spark):
+    out = Q.gopher_quality_filter(spark, SF)
+    rep = Q.gopher_repetition(spark, SF)
+    n_docs = rep.count()
+    kept = out.count()
+    # thresholds are calibrated to split this corpus: a real filter, not
+    # a pass-through and not a wipe-out
+    assert 0 < kept < n_docs
+    # every kept row satisfies every threshold
+    bad = out
+    for col, bp in Q.GOPHER_KEEP_BP.items():
+        bad = bad.filter(f"{col} > {bp}")
+    assert bad.count() == 0
+    assert set(out.columns) == {"doc_id", "lang", *Q.GOPHER_KEEP_BP}

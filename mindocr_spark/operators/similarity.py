@@ -182,15 +182,34 @@ def plane_signs(t: int, k: int):
     return 1.0 - 2.0 * ((h2 >> 27) % 2)
 
 
+def _plane_mask(t: int, k: int) -> int:
+    """Plane (t, k) packed as a 64-bit mask: bit d set iff the sign at
+    dim d is -1. Computed driver-side FROM :func:`plane_signs`, so the
+    engine-visible constants can never drift from the formula (the
+    DuckDB oracle keeps evaluating the avalanche arithmetically)."""
+    s = plane_signs(t, k)
+    m = sum(1 << d for d in range(64) if s[d] < 0)
+    # emit as a signed 64-bit literal (bigint has no unsigned range);
+    # arithmetic shiftright still extracts bit d of the two's complement
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
 def _bucket_spark_expr(t_sql: str, nbits: int) -> str:
     """Spark SQL for a table's bucket id: ``nbits`` seeded-plane sign bits.
-    ``t_sql`` is the table index expression (a lambda variable or literal).
-    The inner fold adds +-embedding[d] in index order (exact IEEE parity
-    with the DuckDB comprehension and the numpy twin)."""
-    idx = f"(({t_sql} * {MAX_TABLE_BITS} + k) * 64 + d)"
-    h1 = f"(({idx} * {_HASH_A1}) % 2147483648)"
-    h2 = f"(({h1} ^ shiftright({h1}, 15)) * {_HASH_A2})"
-    sgn = f"(1 - 2 * (shiftright({h2}, 27) % 2))"
+    ``t_sql`` is the table index expression (a lambda variable or literal)
+    in [0, MAX_LSH_TABLES]. The inner fold adds +-embedding[d] in index
+    order (exact IEEE parity with the DuckDB comprehension and the numpy
+    twin). Round 4: the signs are driver-baked from plane_signs into one
+    constant-folded literal mask array indexed (t * nbits + k) — the
+    per-element interpreted work drops from the ~10-op avalanche to one
+    shift+and, same sign bit-for-bit by construction."""
+    masks = ", ".join(
+        f"{_plane_mask(t, k)}L"
+        for t in range(MAX_LSH_TABLES + 1)
+        for k in range(nbits)
+    )
+    mask = f"element_at(array({masks}), ({t_sql}) * {nbits} + k + 1)"
+    sgn = f"(1 - 2 * cast(shiftright({mask}, d) & 1 as int))"
     dot = (
         f"aggregate(sequence(0, 63), 0D, (acc, d) -> acc + "
         f"cast({sgn} as double) * cast(element_at(embedding, d + 1) as double))"
@@ -228,7 +247,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cached approximate count — only the derived integer enters the plan."""
     nbits = _derived_bits(_emb(spark, sf_dir).count())
     bucket = F.expr(_bucket_spark_expr(str(MAX_LSH_TABLES), nbits))
-    emb = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", bucket)
+    slots = spark.sparkContext.defaultParallelism
+    emb = (
+        _with_norm(_emb(spark, sf_dir))
+        # CPU-bound interpreted bucket projection over a single parquet
+        # split: repartition or it runs on one core (CLAUDE.md invariant)
+        .repartition(2 * slots, "vec_id")
+        .withColumn("bucket", bucket)
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -428,10 +454,16 @@ def _lsh_candidates(emb: DataFrame) -> DataFrame:
     nbits = _derived_bits(emb.count())
     ntables = _TABLES_BY_BITS[nbits]
     # one compact higher-order expression computes every (table, bucket)
-    # pair with the seeded-plane signs derived arithmetically (==
-    # plane_signs): unrolling ntables x nbits literal terms would blow
-    # whole-stage codegen's 64KB method limit — the HOF form stays small at
-    # any derived size.
+    # pair (signs from the baked mask literals): unrolling ntables x nbits
+    # dot products as flat terms would blow whole-stage codegen's 64KB
+    # method limit — the HOF form stays small at any derived size.
+    # The bucket projection is CPU-bound interpreted work (~nbits*64
+    # multiply-adds per table per row), and the embeddings parquet is a
+    # single split at bench scale — without an explicit repartition the
+    # whole projection runs on ONE core (CLAUDE.md invariant; measured
+    # 9.7s -> 0.6s at sf0.1 on local[32]).
+    slots = emb.sparkSession.sparkContext.defaultParallelism
+    emb = emb.repartition(2 * slots, "vec_id")
     tabs = emb.select(
         "vec_id",
         "embedding",

@@ -377,8 +377,15 @@ def _gopher_repetition(docs: DataFrame) -> DataFrame:
         f"i -> struct({n} as n, concat_ws(' ', slice(toks, i, {n})) as gram))"
         for n in GOPHER_NGRAMS
     ) + "))"
+    # partition by doc_id BEFORE the gram explode: HashPartitioning on a
+    # subset of every downstream grouping key ((doc,n,gram), (doc,n),
+    # (doc)) satisfies their ClusteredDistributions, so all three
+    # aggregations run exchange-free — one shuffle of the compact docs
+    # table replaces two shuffles of the ~3x-exploded gram table (the
+    # trade a 100 TB corpus wants; verified in PLANS.md).
+    slots = docs.sparkSession.sparkContext.defaultParallelism
     g = (
-        docs
+        docs.repartition(2 * slots, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
         .select("doc_id", "g.n", "g.gram")

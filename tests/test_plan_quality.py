@@ -76,3 +76,48 @@ def test_extract_has_no_cartesian_and_bounded_shuffles(spark, small_corpus):
         plan = _plan(extract(spark, spans, media, mode=mode))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_repetition_single_preexplode_exchange(spark):
+    """The gram explode multiplies rows ~3x; the plan must shuffle the
+    COMPACT docs table once (explicit repartition by doc_id) and run all
+    three downstream aggregations exchange-free — HashPartitioning(doc_id)
+    satisfies every grouping's ClusteredDistribution."""
+    from mindocr_spark.operators.quality import gopher_repetition
+
+    plan = _plan(gopher_repetition(spark, SF))
+    # executedPlan names each exchange node once
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kie_plans_no_cartesian(spark):
+    """KIE: windows partitioned by doc_id, equi-joins only. The seqeval
+    metric's two BroadcastNestedLoopJoins are the 1-row aggregate
+    crossJoins (tp x n_pred x n_gt) — anything beyond that count means a
+    real cartesian crept in."""
+    from mindocr_spark.operators.kie import (
+        re_link_metric,
+        ser_entity_labels,
+        ser_seqeval_metric,
+    )
+
+    for fn, max_bnl in (
+        (ser_entity_labels, 0),
+        (ser_seqeval_metric, 2),
+        (re_link_metric, 0),
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnl, fn.__name__
+
+
+def test_lsh_bucket_projection_parallel(spark):
+    """The interpreted bucket projection must not run on the raw single
+    parquet split: an explicit round-robin/hash repartition has to appear
+    below the projection (the one-core regression, BENCH.md round 4)."""
+    from mindocr_spark.operators.similarity import _emb, _lsh_candidates, _with_norm
+
+    cand = _lsh_candidates(_with_norm(_emb(spark, SF)))
+    plan = _plan(cand)
+    assert "Exchange hashpartitioning(vec_id" in plan, plan[:2000]

@@ -7,6 +7,26 @@ import sys
 
 sys.path.insert(0, ".")
 
+PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 4)
+
+Plan-quality notes: the only BroadcastNestedLoopJoin in this file is
+cosine_topk's — intentional: the exact brute-force baseline broadcasts the
+tiny query set and streams the corpus (linear in N, no shuffle of the
+corpus). The production near-dup operators (simhash_near_dup_banded,
+simhash64_near_dup, embedding_near_dup_lsh, ngram_jaccard_filtered,
+minhash_lsh_pairs*) are pure equi-join/aggregate plans — no
+CartesianProduct, no nested loop (asserted by tests/test_dedup_banded.py
+and tests/test_plan_quality.py); embedding_near_dup_lsh's exact-cosine
+work runs inside a per-(table,bucket) FlatMapGroupsInPandas (chunked numpy
+matmul), bounded by bucket size. Round-4 plan changes visible here:
+minhash banding is threshold-derived (128 permutations) and both minhash
+forms end in the exact-jaccard verification join; the KIE metric
+(ser_seqeval_metric) is windows-partitioned-by-doc_id + one exact-span
+equi-join + single-row aggregates; gopher_repetition is one scan, one
+(doc,n,gram) aggregate, one (doc,n) aggregate, and a no-shuffle
+conditional-aggregation pivot.
+"""
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -19,16 +39,20 @@ def main() -> None:
         "order_revenue_topn",
         "cosine_topk",
         "minhash_lsh_pairs",
+        "minhash_lsh_pairs_fast",
         "sessionize_events",
         "ngram_jaccard_filtered",
         "simhash_near_dup_banded",
+        "simhash64_near_dup",
         "embedding_near_dup_lsh",
+        "ser_seqeval_metric",
+        "gopher_repetition",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    out = ["# PLANS — formatted physical plans (sf0.01, round 3)\n"]
+    out = [PREAMBLE]
     for name in names:
         df = qs[name](spark, sf)
         plan = df._jdf.queryExecution().explainString(mode)

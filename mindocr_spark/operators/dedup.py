@@ -130,8 +130,16 @@ def _shingles(docs: DataFrame) -> DataFrame:
         f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)), "
         f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"
     )
+    # partition the COMPACT docs table by doc_id before the ~n_tokens-x
+    # explode: HashPartitioning(doc_id) satisfies the distinct's
+    # (doc_id, shingle) clustering AND every downstream per-doc grouping
+    # (minhash agg, sizes), so the exploded shingle rows are never
+    # shuffled — one small-table exchange replaces two big ones (and the
+    # single-split parquet stops serializing tokenization on one core).
+    slots = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        docs.repartition(2 * slots, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
@@ -309,8 +317,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     row blow-up whose second shuffle dominated the r01 profile). Identical
     integer math: the per-bit vote s = sum(2*bit - 1) = 2*cnt_b - n, bit set
     iff s >= 0 — all map-side combinable."""
+    docs = _docs(spark, sf_dir)
+    slots = spark.sparkContext.defaultParallelism
     toks = (
-        _docs(spark, sf_dir)
+        # compact-table repartition: the 60-bit-vote aggregation below
+        # groups by doc_id, so exploded token rows never shuffle
+        docs.repartition(2 * slots, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn(
             "h", F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)")
@@ -631,8 +643,10 @@ def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + token count, map-side combinable), no md5 hex-string
     materialization. Bit 63's addend is Long.MIN_VALUE; partial sums of the
     lower 63 bits stay < 2^63 so the fold never overflows (ANSI-safe)."""
+    docs = _docs(spark, sf_dir)
+    slots = spark.sparkContext.defaultParallelism
     toks = (
-        _docs(spark, sf_dir)
+        docs.repartition(2 * slots, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn("h", F.xxhash64(F.col("tok")))
     )

@@ -56,7 +56,11 @@ def ser_tokens(docs: DataFrame) -> DataFrame:
     segment starts.  pred: gt with class flips on (doc_id*13+pos*7)%11==5
     and spurious B prefixes on (doc_id*29+pos*3)%13==7 — the structured
     noise a real token classifier produces."""
-    t = docs.select(
+    # compact-table repartition by doc_id before the token explode: the
+    # windows and every grouping below cluster by doc_id, so the exploded
+    # rows are never shuffled (same trade as dedup._shingles)
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    t = docs.repartition(2 * slots, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).drop("tok")
     t = t.withColumn(

@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-oracled since round 4 via generated inline XXH64 DuckDB SQL
         # (functions/xxh64_sql.py)
         "minhash_lsh_pairs_fast": dedup.minhash_lsh_pairs_fast,
+        # daily-increment pattern: arriving batch vs stored corpus bands,
+        # never corpus x corpus (round 4)
+        "minhash_lsh_incremental": dedup.minhash_lsh_incremental,
         "simhash_signatures": dedup.simhash_signatures,
         # NOTE round 2: the exact-quadratic forms (simhash_near_pairs,
         # ngram_jaccard_pairs, embedding_near_dup_pairs) are demoted to test
@@ -320,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic), generated as inline HUGEINT SQL — so the production
         # hash family is itself hash-oracled, not just its md5 twin
         "minhash_lsh_pairs_fast": dedup.MINHASH_LSH_FAST_SQL,
+        "minhash_lsh_incremental": dedup.MINHASH_LSH_INCREMENTAL_SQL,
         "simhash64_near_dup": dedup.SIMHASH64_NEAR_DUP_SQL,
         "simhash_signatures": dedup.SIMHASH_SQL,
         # banded simhash's oracle IS the quadratic form at the same

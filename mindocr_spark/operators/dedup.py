@@ -253,6 +253,21 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification, so the verified outputs agree up to S-curve recall
     (pytest equivalence, tests/test_dedup_banded.py)."""
     sh = persist_intermediate(_shingles(_docs(spark, sf_dir)))
+    bands = _xxhash_bands(sh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(sh, cand)
+
+
+def _xxhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_key) for the xxhash64 minhash family —
+    8-byte long band keys, persisted (it feeds both self-join sides)."""
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
@@ -275,13 +290,37 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_no", "band.band_key")
-    bands = persist_intermediate(bands)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    return persist_intermediate(bands)
+
+
+INCREMENT_MOD = 10  # doc_id % 10 == 0 plays the arriving daily batch
+
+
+def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup — the daily-crawl-increment pattern a 100 TB
+    corpus actually runs: near-dup pairs INVOLVING the arriving batch
+    (here: doc_id % INCREMENT_MOD == 0 plays the increment), against the
+    full corpus, without ever joining corpus x corpus. The increment's
+    band rows probe the corpus band table on (band_no, band_key), so work
+    is |increment| x bucket occupancy — at scale the corpus side is the
+    STORED band table maintained across increments (append the new rows
+    after each batch; this query recomputes it from documents because the
+    driver contract is stateless), and the probe side is broadcast-sized.
+    Pairs are normalized (least, greatest) so a new-new pair counts once;
+    old-old pairs are excluded by construction. Same exact-jaccard
+    verification as the full operator, so output = the full operator's
+    pairs restricted to those touching the increment (pytest-asserted)."""
+    sh = persist_intermediate(_shingles(_docs(spark, sf_dir)))
+    bands = _xxhash_bands(sh)
+    arriving = bands.filter(F.col("doc_id") % INCREMENT_MOD == 0)
     cand = (
-        a.join(b, ["band_no", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        arriving.alias("a")
+        .join(bands.alias("b"), ["band_no", "band_key"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
     return _verify_candidates(sh, cand)
@@ -742,11 +781,13 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully hash-oracled: the driver executes the generated SQL as one
 # statement and compares value hashes.
 
-def _minhash_fast_sql() -> str:
+def _minhash_fast_sql(cand_sql: str | None = None) -> str:
     """DuckDB mirror of :func:`minhash_lsh_pairs_fast`: per-permutation
     seeds are hashInt(s, 42) constants; the per-(shingle, seed) XXH64 byte
     fold and the 2-long band-key chain are generated; banding + exact
-    jaccard verification are the same plan as the md5 oracle."""
+    jaccard verification are the same plan as the md5 oracle.
+    ``cand_sql`` overrides the candidate CTE body (the incremental
+    operator restricts candidates to pairs touching the arriving batch)."""
     from ..functions import xxh64_sql as X
 
     seeds = [X.xxh64_int_py(s, X.SPARK_SEED) for s in range(N_MINHASH)]
@@ -779,6 +820,12 @@ def _minhash_fast_sql() -> str:
         f"min(CASE WHEN s % {BAND_ROWS} = {i} THEN mh END) AS m{i}"
         for i in range(BAND_ROWS)
     )
+    if cand_sql is None:
+        cand_sql = """
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id"""
     return f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
@@ -790,11 +837,7 @@ mb AS (
   FROM mh GROUP BY 1, 2
 ),
 bk AS ({bk}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bk a JOIN bk b
-    ON a.band_no = b.band_no AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
+cand AS ({cand_sql}
 ),
 {_VERIFY_SQL_TAIL.lstrip()}
 SELECT doc_a, doc_b FROM verified
@@ -844,6 +887,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDED_HAMMING_MAX}
 
 
 MINHASH_LSH_FAST_SQL = _minhash_fast_sql()
+MINHASH_LSH_INCREMENTAL_SQL = _minhash_fast_sql(
+    cand_sql=f"""
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id != b.doc_id
+  WHERE a.doc_id % {INCREMENT_MOD} = 0"""
+)
 SIMHASH64_NEAR_DUP_SQL = _simhash64_sql()
 
 

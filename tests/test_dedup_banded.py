@@ -399,3 +399,24 @@ def test_near_dup_clusters_match_local_union_find(spark):
     assert labels == expected
     # the corpus contains real near-dup clusters (non-trivial components)
     assert any(v != k for k, v in labels.items())
+
+
+def test_minhash_incremental_equals_restriction_of_full(spark):
+    """The incremental operator's contract: exactly the full operator's
+    verified pairs restricted to those touching the arriving batch
+    (doc_id % INCREMENT_MOD == 0) — same band family, same verification,
+    no corpus x corpus join anywhere in its plan."""
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs_fast(spark, SF).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_incremental(spark, SF).collect()
+    }
+    expect = {
+        p for p in full
+        if p[0] % dedup.INCREMENT_MOD == 0 or p[1] % dedup.INCREMENT_MOD == 0
+    }
+    assert inc == expect
+    assert len(inc) > 0

@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer basis points + the threshold composition filter
         "gopher_repetition": quality.gopher_repetition,
         "gopher_quality_filter": quality.gopher_quality_filter,
+        # benchmark decontamination: broadcast eval-gram probe (round 4)
+        "decontamination_flags": quality.decontamination_flags,
     }
 
 
@@ -352,4 +354,5 @@ def oracle_sql() -> dict[str, str]:
         "re_link_metric": kie.RE_LINK_SQL,
         "gopher_repetition": quality.GOPHER_REPETITION_SQL,
         "gopher_quality_filter": quality.GOPHER_FILTER_SQL,
+        "decontamination_flags": quality.DECONTAMINATION_SQL,
     }

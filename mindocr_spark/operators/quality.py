@@ -482,3 +482,94 @@ WHERE {conds}
 
 
 GOPHER_FILTER_SQL = _gopher_filter_sql()
+
+
+# --- Benchmark decontamination (round 4) -------------------------------------
+# The eval-set n-gram overlap check every serious LM data pipeline runs
+# before training (e.g. GPT-3 appendix C / PaLM / Llama decontamination):
+# a training document is contaminated if it shares any long n-gram with a
+# benchmark document. The benchmark side here is the deterministic holdout
+# doc_id % DECON_EVAL_MOD == 0 (standing in for an external eval suite —
+# the driver contract is a single documents table). Real pipelines use
+# 8-13-gram windows (GPT-3 used 13); this corpus draws from a ~30-word
+# vocabulary, so per-gram specificity is far lower than natural text and
+# the width is calibrated down to 4 to keep a non-trivial flagged set
+# (8 docs at sf0.01; 6-grams and up never collide across docs here). The
+# operator shape — small-side broadcast probe + per-doc fraction — is
+# what the gate certifies; the width is a config knob.
+
+DECON_NGRAM = 4
+DECON_EVAL_MOD = 97  # doc_id % 97 == 0 plays the benchmark/eval suite
+
+
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {DECON_NGRAM - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(toks, i, {DECON_NGRAM})))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training documents sharing >= 1 {DECON_NGRAM}-gram with the eval
+    holdout: (doc_id, n_hits, n_grams, hit_frac_bp), flagged rows only.
+
+    Plan shape at 100 TB: the eval suite is small by nature (benchmarks),
+    so its distinct gram set BROADCASTS and the training-side probe is a
+    map-side hash join — one scan of the corpus, no shuffle of the
+    training grams except the final per-doc count (clustered under the
+    doc_id partitioning, exchange-free after the compact-table
+    repartition)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    slots = spark.sparkContext.defaultParallelism
+    train = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).repartition(
+        2 * slots, "doc_id"
+    )
+    eval_grams = (
+        _decon_grams(docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0))
+        .select("gram")
+        .distinct()
+    )
+    tg = _decon_grams(train)
+    sizes = tg.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_grams",
+            F.expr("(10000 * n_hits) div n_grams").alias("hit_frac_bp"),
+        )
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH dg AS (
+  SELECT DISTINCT doc_id, unnest([
+    array_to_string(string_split(text, ' ')[i:i+{DECON_NGRAM - 1}], ' ')
+    for i in range(1, greatest(len(string_split(text, ' ')) - {DECON_NGRAM - 1}, 1) + 1)
+  ]) AS gram FROM documents
+),
+eg AS (
+  SELECT DISTINCT gram FROM dg WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+tg AS (SELECT doc_id, gram FROM dg WHERE doc_id % {DECON_EVAL_MOD} != 0),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM tg GROUP BY doc_id),
+hits AS (
+  SELECT tg.doc_id, count(*)::BIGINT AS n_hits
+  FROM tg JOIN eg ON tg.gram = eg.gram
+  GROUP BY tg.doc_id
+)
+SELECT h.doc_id, h.n_hits, s.n_grams,
+       ((10000 * h.n_hits) // s.n_grams)::BIGINT AS hit_frac_bp
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+"""

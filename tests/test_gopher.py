@@ -56,3 +56,18 @@ def test_gopher_filter_composition(spark):
         bad = bad.filter(f"{col} > {bp}")
     assert bad.count() == 0
     assert set(out.columns) == {"doc_id", "lang", *Q.GOPHER_KEEP_BP}
+
+
+def test_decontamination_broadcast_and_semantics(spark):
+    """The eval-gram side must BROADCAST (benchmarks are small by nature;
+    a shuffle join here would shuffle the training grams), and every
+    flagged doc must be a training doc with hit_frac consistent."""
+    df = Q.decontamination_flags(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_id % Q.DECON_EVAL_MOD != 0
+        assert 0 < r.n_hits <= r.n_grams
+        assert r.hit_frac_bp == 10000 * r.n_hits // r.n_grams

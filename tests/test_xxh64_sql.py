@@ -112,3 +112,32 @@ def test_corpus_inside_generated_domain(spark):
     ).collect()[0]
     assert toks.max_bytes < 32 and toks.non_ascii == 0
     assert SHINGLE_N == 3  # domain bound argument assumes 3-grams
+
+
+def test_generated_sql_fuzz_equals_reference():
+    """Property fuzz: random printable-ASCII strings across the whole
+    generated domain (len 0-31, word/4-byte/tail boundaries) x random
+    64-bit seeds — the generated SQL must equal the Python reference on
+    every case. One DuckDB query evaluates the full grid."""
+    import random
+
+    rng = random.Random(0xD0C)
+    strs = [
+        "".join(chr(rng.randrange(33, 127)) for _ in range(n))
+        for n in list(range(32)) + [rng.randrange(32) for _ in range(96)]
+    ]
+    seeds = [rng.randrange(1 << 64) for _ in range(8)]
+    fold = X.SqlFold("z")
+    prep = X.prep_cols(fold, "s")
+    h = X.fold_bytes(fold, prep, "seed")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fz AS SELECT unnest(?) AS s", [strs])
+    seed_list = ", ".join(f"{c}::HUGEINT" for c in seeds)
+    sql = fold.render(
+        f"SELECT s, seed FROM fz, (SELECT unnest([{seed_list}]) AS seed)",
+        keep=["s", "seed", h],
+    )
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == len(strs) * len(seeds)
+    for s, seed, got in rows:
+        assert int(got) == X.xxh64_bytes_py(s.encode(), int(seed)), (s, seed)

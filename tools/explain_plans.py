@@ -47,6 +47,8 @@ def main() -> None:
         "embedding_near_dup_lsh",
         "ser_seqeval_metric",
         "gopher_repetition",
+        "minhash_lsh_incremental",
+        "decontamination_flags",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -26,6 +26,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_fast",
     "ngram_jaccard_filtered",
+    "minhash_lsh_incremental",
     "simhash_near_dup_banded",
     "simhash_near_dup_manku",
     "simhash64_near_dup",
@@ -33,6 +34,8 @@ HEADLINE = [
     "cosine_topk",
     "quality_scores",
     "ser_seqeval_metric",
+    "gopher_repetition",
+    "decontamination_flags",
 ]
 
 

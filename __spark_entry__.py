@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": quality.gopher_quality_filter,
         # benchmark decontamination: broadcast eval-gram probe (round 4)
         "decontamination_flags": quality.decontamination_flags,
+        # cross-doc exact-substring dedup signal (Lee et al. 2022 analogue)
+        "duplicate_span_coverage": quality.duplicate_span_coverage,
     }
 
 
@@ -355,4 +357,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": quality.GOPHER_REPETITION_SQL,
         "gopher_quality_filter": quality.GOPHER_FILTER_SQL,
         "decontamination_flags": quality.DECONTAMINATION_SQL,
+        "duplicate_span_coverage": quality.DUPLICATE_SPAN_SQL,
     }

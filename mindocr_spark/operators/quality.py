@@ -573,3 +573,103 @@ SELECT h.doc_id, h.n_hits, s.n_grams,
        ((10000 * h.n_hits) // s.n_grams)::BIGINT AS hit_frac_bp
 FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
 """
+
+
+# --- Cross-document duplicated-span coverage (round 4) -----------------------
+# The exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": docs dominated by spans
+# that also appear verbatim in OTHER documents are memorization risks).
+# The suffix-array construction of the paper is replaced by the
+# distributed equivalent over fixed-width token windows: a span is
+# "duplicated" when its SPAN_NGRAM-gram occurs in >= 2 documents; a doc's
+# coverage is the fraction of its token positions lying under at least
+# one duplicated gram. Complements the Gopher signals (those are
+# WITHIN-doc repetition; this is cross-doc).
+
+SPAN_NGRAM = 5  # distinctive at this corpus's vocab (71/500 docs flagged)
+
+
+def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, covered, coverage_bp) for docs with >= 1
+    cross-document duplicated span.
+
+    Plan shape at 100 TB: one compact-table repartition by doc_id, the
+    (gram -> doc-count) aggregation is the only big shuffle (map-side
+    combinable after the per-doc distinct), the join-back is a plain
+    equi-join on gram, and the covered-position explode blows up ONLY the
+    duplicated rows (bounded by dup density x SPAN_NGRAM). Coverage is a
+    distinct-count of token positions, so overlapping spans never double
+    count."""
+    slots = spark.sparkContext.defaultParallelism
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .repartition(2 * slots, "doc_id")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {SPAN_NGRAM - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(toks, i, {SPAN_NGRAM})))"
+    )
+    g = d.select(
+        "doc_id", "n_tokens", F.posexplode(grams).alias("pos0", "gram")
+    )
+    dup = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("gram")
+    )
+    cov = g.join(dup, "gram").select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(f"sequence(pos0 + 1, least(pos0 + {SPAN_NGRAM}, n_tokens))")
+        ).alias("tokpos"),
+    )
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.countDistinct("tokpos").cast("long").alias("covered"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered",
+            F.expr("(10000 * covered) div n_tokens").alias("coverage_bp"),
+        )
+    )
+
+
+DUPLICATE_SPAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(1, greatest(len(toks) - {SPAN_NGRAM - 1}, 1) + 1)) AS pos,
+         unnest([
+           array_to_string(toks[i:i+{SPAN_NGRAM - 1}], ' ')
+           for i in range(1, greatest(len(toks) - {SPAN_NGRAM - 1}, 1) + 1)
+         ]) AS gram
+  FROM d
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram
+  ) WHERE ndocs > 1
+),
+cov AS (
+  SELECT g.doc_id, g.n_tokens, unnest(range(g.pos, least(g.pos + {SPAN_NGRAM - 1}, g.n_tokens) + 1)) AS tokpos
+  FROM g JOIN dup USING (gram)
+)
+SELECT doc_id, max(n_tokens)::BIGINT AS n_tokens,
+       count(DISTINCT tokpos)::BIGINT AS covered,
+       ((10000 * count(DISTINCT tokpos)) // max(n_tokens))::BIGINT AS coverage_bp
+FROM cov GROUP BY doc_id
+"""

@@ -71,3 +71,29 @@ def test_decontamination_broadcast_and_semantics(spark):
         assert r.doc_id % Q.DECON_EVAL_MOD != 0
         assert 0 < r.n_hits <= r.n_grams
         assert r.hit_frac_bp == 10000 * r.n_hits // r.n_grams
+
+
+def test_duplicate_span_coverage_semantics(spark):
+    """Coverage counts DISTINCT token positions (overlapping duplicated
+    spans never double-count), is bounded by n_tokens, and flags only
+    docs whose spans actually recur in ANOTHER doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w v"),     # shares 'a b c d e' with doc 2
+            (2, "a b c d e q r s t u"),
+            (3, "k l m n o p j h g f"),     # unique
+        ],
+        "doc_id long, text string",
+    )
+    import mindocr_spark.operators.quality as Q2
+    orig = Q2._docs
+    Q2._docs = lambda spark, sf_dir: docs
+    try:
+        rows = {r.doc_id: r for r in Q2.duplicate_span_coverage(spark, "ignored").collect()}
+    finally:
+        Q2._docs = orig
+    assert set(rows) == {1, 2}  # doc 3 has no cross-doc span
+    # 'a b c d e' covers positions 1-5 of each sharer: 5/10 tokens
+    for d in (1, 2):
+        assert rows[d].covered == 5 and rows[d].n_tokens == 10
+        assert rows[d].coverage_bp == 5000

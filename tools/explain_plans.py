@@ -49,6 +49,7 @@ def main() -> None:
         "gopher_repetition",
         "minhash_lsh_incremental",
         "decontamination_flags",
+        "duplicate_span_coverage",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -183,7 +183,7 @@ top AS (
                             ORDER BY cnt DESC, fold_id ASC) AS rn
   FROM votes
 )
-SELECT doc_id, segment_id, fold_id::BIGINT AS pred_id,
+SELECT doc_id, segment_id::BIGINT AS segment_id, fold_id::BIGINT AS pred_id,
        {_label_case("fold_id")} AS pred_label
 FROM top WHERE rn = 1
 """

@@ -21,6 +21,24 @@ TABLES = [
 ]
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict[str, str]:
+    """Column -> canonical dtype kind ('int' / 'float' / 'bool' / 'obj').
+
+    The driver's hasher is dtype-sensitive: a DuckDB HUGEINT (from an uncast
+    window/plain sum) or DECIMAL comes back as float64/object and hash-fails
+    against Spark's int64 even when every value prints identically.  The
+    str() canonicalization in normalize() used to mask exactly that class of
+    drift (round-4 verdict wrong #1), so kinds are compared first.
+    """
+    kinds = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        kinds[c] = {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(
+            k, "obj"
+        )
+    return kinds
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.astype(object).where(pd.notnull(df), None)
@@ -69,11 +87,21 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
+        ka, kb = dtype_kinds(sdf), dtype_kinds(odf)
         a, b = normalize(sdf), normalize(odf)
         status = "PASS"
         detail = ""
         if len(a) != len(b):
             status, detail = "FAIL", f"rowcount {len(a)} vs {len(b)}"
+        elif sorted(ka) == sorted(kb) and any(
+            ka[c] != kb[c] for c in ka
+        ):
+            status = "FAIL"
+            detail = "dtype drift " + ", ".join(
+                f"{c}: spark={ka[c]} duck={kb[c]}"
+                for c in sorted(ka)
+                if ka[c] != kb[c]
+            )
         elif list(a.columns) != list(b.columns):
             status, detail = "FAIL", f"cols {list(a.columns)} vs {list(b.columns)}"
         elif not a.equals(b):

@@ -267,36 +267,87 @@ def derive_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 # job reads an Iceberg table; it does not synthesize its input) — instead
 # of paying the PNG/PDF render again inside every timed query.
 #
-# Cluster contract (round 4): the memo root is configurable via
-# MINDOCR_CORPUS_MEMO_DIR. The default is a per-process local tempdir —
-# correct on a single driver, WRONG for multi-driver or restart scenarios
-# (another driver cannot see a local path); point the env var at shared
-# storage (HDFS/NFS/object-store mount) there. Keying on the source
-# table's mtime means an in-process rewrite of documents.parquet renders
-# a fresh corpus instead of serving a stale memo; locally-created
-# tempdirs are removed at interpreter exit.
-_CORPUS_CACHE: dict[tuple[str, float], str] = {}
+# Cluster contract (round 4, hardened round 5): the memo root is
+# configurable via MINDOCR_CORPUS_MEMO_DIR. The default is a per-process
+# local tempdir — correct on a single driver, WRONG for multi-driver or
+# restart scenarios (another driver cannot see a local path); point the
+# env var at shared storage (HDFS/NFS/object-store mount) there.
+# The cache key is a CONTENT fingerprint of documents.parquet (per-file
+# name + size + mtime_ns), not a bare float mtime: a rewrite within the
+# same second on a coarse-mtime filesystem still changes the key, so a
+# stale derived corpus is never served. Publication into the shared root
+# is ATOMIC: each driver renders into a private ".tmp.<pid>" sibling and
+# os.rename()s it into place, so a reader that has observed _SUCCESS can
+# never see files deleted out from under it by a concurrent re-render,
+# and the rename loser simply adopts the winner's identical corpus.
+_CORPUS_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _memo_dir(sf_dir: str, mtime: float) -> str:
+def _source_fingerprint(path: str) -> str:
+    """Deterministic digest of the source table's file inventory.
+
+    Works for a single parquet file or a parquet directory; NOT Python
+    hash() (PYTHONHASHSEED randomization would give each driver a
+    different memo path)."""
+    import hashlib
+    import os
+
+    parts: list[str] = [os.path.abspath(path)]
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+_MEMO_PARTS = ("documents_spans.parquet", "media.parquet")
+
+
+def _memo_published(out: str) -> bool:
+    import os
+
+    return all(os.path.exists(f"{out}/{p}/_SUCCESS") for p in _MEMO_PARTS)
+
+
+def _render_memo(spark: SparkSession, sf_dir: str, out: str) -> None:
+    spans, media = derive_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    spans.write.mode("overwrite").parquet(f"{out}/documents_spans.parquet")
+    media.write.mode("overwrite").parquet(f"{out}/media.parquet")
+
+
+def _materialized_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     import atexit
     import os
     import shutil
     import tempfile
 
     root = os.environ.get("MINDOCR_CORPUS_MEMO_DIR")
-    if root:
-        import hashlib
-
-        # deterministic digest (NOT Python hash(): PYTHONHASHSEED
-        # randomization would give each driver a different memo path)
-        tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:16]
-        out = os.path.join(root, f"derived_{tag}")
-        os.makedirs(out, exist_ok=True)
+    if not root:
+        out = tempfile.mkdtemp(prefix="mindocr_derived_corpus_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        _render_memo(spark, sf_dir, out)
         return out
-    out = tempfile.mkdtemp(prefix="mindocr_derived_corpus_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    return out
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, f"derived_{tag}")
+    if _memo_published(final):  # restart against a shared memo: skip render
+        return final
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _render_memo(spark, sf_dir, tmp)
+    try:
+        os.rename(tmp, final)  # atomic publish
+    except OSError:
+        # another driver published first (rename onto a non-empty dir
+        # fails); its corpus is byte-identical by determinism — adopt it
+        if not _memo_published(final):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
 
 
 def derive_corpus(
@@ -306,25 +357,9 @@ def derive_corpus(
         return derive_from_docs(
             spark.read.parquet(f"{sf_dir}/documents.parquet")
         )
-    import os
-
-    mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-    key = (sf_dir, mtime)
+    key = (sf_dir, _source_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _CORPUS_CACHE:
-        out = _memo_dir(sf_dir, mtime)
-        done = all(
-            os.path.exists(f"{out}/{p}/_SUCCESS")
-            for p in ("documents_spans.parquet", "media.parquet")
-        )
-        if not done:  # restart against a shared memo skips the render
-            spans, media = derive_from_docs(
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
-            )
-            spans.write.mode("overwrite").parquet(
-                f"{out}/documents_spans.parquet"
-            )
-            media.write.mode("overwrite").parquet(f"{out}/media.parquet")
-        _CORPUS_CACHE[key] = out
+        _CORPUS_CACHE[key] = _materialized_dir(spark, sf_dir, key[1])
     out = _CORPUS_CACHE[key]
     return (
         spark.read.parquet(f"{out}/documents_spans.parquet"),

@@ -21,6 +21,13 @@ from ..config import persist_intermediate
 
 SIMHASH_BITS = 60  # 15 hex chars -> fits signed int64 in both engines
 JACCARD_THRESHOLD = 0.12
+# the threshold as an exact integer ratio: every >= filter is evaluated as
+# T_DEN*inter >= T_NUM*union in pure int64 on BOTH engines, so a jaccard
+# that lands exactly on the threshold (e.g. 3/25) can never split across
+# float rounding (round-4 ADVICE; the round(...,4) jaccard OUTPUT columns
+# are unchanged — they are values, not predicates)
+JACCARD_T_NUM, JACCARD_T_DEN = 12, 100
+assert JACCARD_T_NUM / JACCARD_T_DEN == JACCARD_THRESHOLD
 SHINGLE_N = 3
 MAX_MINHASHES = 128  # hash budget (DataSketch-standard): bands*rows <= this
 
@@ -88,10 +95,9 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
             "doc_b",
         )
         .filter(
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            )
-            >= F.lit(JACCARD_THRESHOLD)
+            F.lit(JACCARD_T_DEN) * F.col("inter")
+            >= F.lit(JACCARD_T_NUM)
+            * (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .select("doc_a", "doc_b")
     )
@@ -111,7 +117,7 @@ verified AS (
   FROM inter i
   JOIN sizes na ON na.doc_id = i.doc_a
   JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+  WHERE {JACCARD_T_DEN} * i.inter >= {JACCARD_T_NUM} * (na.n + nb.n - i.inter)
 )"""
 
 
@@ -428,7 +434,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(
+            F.lit(JACCARD_T_DEN) * F.col("inter")
+            >= F.lit(JACCARD_T_NUM)
+            * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
@@ -447,7 +457,7 @@ SELECT i.doc_a, i.doc_b, i.inter,
 FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+WHERE {JACCARD_T_DEN} * i.inter >= {JACCARD_T_NUM} * (na.n + nb.n - i.inter)
 """
 
 
@@ -664,11 +674,12 @@ SIMHASH_NEAR_DUP_MANKU_SQL = SIMHASH_NEAR_DUP_BANDED_SQL
 # what a 10^12-doc job runs: JVM-intrinsic xxhash64 token hashes, the full
 # 64 signature bits, and 7 Manku blocks (sizes 10+9*6) picked 4 at a time —
 # C(7,4) = 35 tables on >= 2^36 combination keys, candidate volume
-# Theta(35 * N^2 / 2^36): workable to N ~ 10^11-10^12. Registered rows-only
-# (DuckDB has no xxhash64 with Spark's seed semantics, like
-# minhash_lsh_pairs_fast); pytest proves (a) pigeonhole exactness against
-# the in-Spark 64-bit quadratic form and (b) pair-set equivalence with the
-# 60-bit oracled operator on the corpus.
+# Theta(35 * N^2 / 2^36): workable to N ~ 10^11-10^12. Hash-oracled since
+# round 4: SIMHASH64_NEAR_DUP_SQL inlines a generated pure-SQL XXH64
+# (functions/xxh64_sql.py) so DuckDB reproduces Spark's xxhash64 bit-for-bit;
+# pytest additionally proves (a) pigeonhole exactness against the in-Spark
+# 64-bit quadratic form and (b) pair-set equivalence with the 60-bit oracled
+# operator on the corpus.
 SIMHASH64_BITS = 64
 N_MANKU64_BLOCKS = 7
 _MANKU64_PICK = 4  # = blocks - hamming_max: <=3 errors leave >=4 clean blocks
@@ -978,7 +989,10 @@ def _jaccard_direct(kept: DataFrame, t_pct: int) -> DataFrame:
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
         )
-        .filter(F.col("jaccard") >= F.lit(t_pct) / 100.0)
+        .filter(
+            F.lit(100) * F.col("inter")
+            >= F.lit(t_pct) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
@@ -1038,7 +1052,10 @@ def _jaccard_prefix_verified(kept: DataFrame, t_pct: int) -> DataFrame:
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
         )
-        .filter(F.col("jaccard") >= F.lit(t_pct) / 100.0)
+        .filter(
+            F.lit(100) * F.col("inter")
+            >= F.lit(t_pct) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
@@ -1062,7 +1079,7 @@ SELECT i.doc_a, i.doc_b, i.inter,
 FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE round(i.inter / (na.n + nb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+WHERE {JACCARD_T_DEN} * i.inter >= {JACCARD_T_NUM} * (na.n + nb.n - i.inter)
 """
 
 

@@ -111,8 +111,8 @@ def test_derive_corpus_memoization_exact(spark):
 
     cached_spans, cached_media = dc.derive_corpus(spark, SF_DIR)
     fresh_spans, fresh_media = dc.derive_corpus(spark, SF_DIR, materialize=False)
-    mtime = os.path.getmtime(f"{SF_DIR}/documents.parquet")
-    assert (SF_DIR, mtime) in dc._CORPUS_CACHE
+    fp = dc._source_fingerprint(f"{SF_DIR}/documents.parquet")
+    assert (SF_DIR, fp) in dc._CORPUS_CACHE
 
     cs = cached_spans.selectExpr("doc_id", "to_json(spans) AS s").toPandas()
     fs = fresh_spans.selectExpr("doc_id", "to_json(spans) AS s").toPandas()
@@ -157,3 +157,78 @@ def test_derive_corpus_shared_memo_dir(spark, tmp_path, monkeypatch):
     assert spans2.count() == n1
     assert media2.count() > 0
     assert os.listdir(tmp_path) == memo_dirs
+
+
+def test_shared_memo_atomic_publish(spark, tmp_path, monkeypatch):
+    """Round-5 ADVICE hardening: the shared memo is rendered into a
+    private .tmp.<pid> sibling and os.rename()d into place — no reader
+    can ever observe a half-written or mid-overwrite memo dir — and a
+    driver that loses the publish race adopts the winner's dir instead
+    of clobbering it."""
+    import os
+
+    from mindocr_spark.data import derive_corpus as dc
+
+    monkeypatch.setenv("MINDOCR_CORPUS_MEMO_DIR", str(tmp_path))
+    monkeypatch.setattr(dc, "_CORPUS_CACHE", {})
+    dc.derive_corpus(spark, SF_DIR)
+    published = [d for d in os.listdir(tmp_path) if ".tmp." not in d]
+    assert len(published) == 1  # tmp sibling renamed away, nothing torn
+    assert len(os.listdir(tmp_path)) == 1
+    final = os.path.join(tmp_path, published[0])
+    marker = os.path.join(final, "documents_spans.parquet", "_SUCCESS")
+    ino = os.stat(marker).st_ino
+
+    # loser path: memo already published when this driver tries to rename
+    monkeypatch.setattr(dc, "_CORPUS_CACHE", {})
+    real_rename = os.rename
+    calls = []
+
+    def racing_rename(src, dst):
+        calls.append((src, dst))
+        raise OSError(39, "Directory not empty")  # the ENOTEMPTY race shape
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    # force a re-render attempt by pretending the memo isn't published yet,
+    # but only for the pre-render check (the post-race check must see it)
+    checks = []
+    real_pub = dc._memo_published
+
+    def first_check_misses(out):
+        checks.append(out)
+        if len(checks) == 1:
+            return False
+        return real_pub(out)
+
+    monkeypatch.setattr(dc, "_memo_published", first_check_misses)
+    spans, _ = dc.derive_corpus(spark, SF_DIR)
+    assert spans.count() > 0
+    monkeypatch.setattr(os, "rename", real_rename)
+    # winner's memo untouched (same inode), loser's tmp cleaned up
+    assert os.stat(marker).st_ino == ino
+    assert [d for d in os.listdir(tmp_path) if ".tmp." in d] == []
+    assert calls, "loser must have attempted an atomic rename"
+
+
+def test_source_fingerprint_changes_on_rewrite(tmp_path):
+    """The memo key must change when documents.parquet is rewritten even
+    if the coarse (1s) mtime does not move — size or mtime_ns will."""
+    import os
+
+    from mindocr_spark.data import derive_corpus as dc
+
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"one")
+    fp1 = dc._source_fingerprint(str(p))
+    p.write_bytes(b"three")  # different size, same second
+    ts = os.stat(p)
+    os.utime(p, (ts.st_atime, int(ts.st_mtime)))  # truncate to whole second
+    fp2 = dc._source_fingerprint(str(p))
+    assert fp1 != fp2
+    # directory form: keyed on the file inventory
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a")
+    fp3 = dc._source_fingerprint(str(d))
+    (d / "part-1.parquet").write_bytes(b"b")
+    assert dc._source_fingerprint(str(d)) != fp3

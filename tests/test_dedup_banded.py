@@ -333,9 +333,13 @@ def test_minhash_fast_equivalence(spark):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF}/documents.parquet')"
     )
+    thresh_pred = (
+        f"{dedup.JACCARD_T_DEN} * i.inter "
+        f">= {dedup.JACCARD_T_NUM} * (na.n + nb.n - i.inter)"
+    )
+    assert thresh_pred in dedup.NGRAM_JACCARD_SQL  # replace must not no-op
     strong_sql = dedup.NGRAM_JACCARD_SQL.replace(
-        f"round(i.inter / (na.n + nb.n - i.inter), 4) >= {dedup.JACCARD_THRESHOLD}",
-        "round(i.inter / (na.n + nb.n - i.inter), 4) >= 0.3",
+        thresh_pred, "10 * i.inter >= 3 * (na.n + nb.n - i.inter)"
     )
     strong = {(a, b) for a, b, _, _ in con.execute(strong_sql).fetchall()}
     assert len(strong) > 10  # non-vacuous

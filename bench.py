@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "extract_interleaved",
     "extract_interleaved_exploded",
+    "extract_interleaved_salted",
     "pricing_summary",
     "collect_lines_by_order",
     "minhash_lsh_pairs",
@@ -36,6 +37,8 @@ HEADLINE = [
     "ser_seqeval_metric",
     "gopher_repetition",
     "decontamination_flags",
+    "stream_windowed_counts",
+    "xfund_entities",
 ]
 
 

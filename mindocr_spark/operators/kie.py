@@ -407,3 +407,199 @@ def ser_decode_xfund(spark: SparkSession, path: str) -> DataFrame:
             label.alias("pred_label"),
         )
     )
+
+
+# --- XFUND file-decode path under the driver oracle (round 5, verdict #5) ----
+# The SER/RE queries above derive their token table in-plan; this query
+# instead drives the FILE path: a deterministic XFUND-format JSON document
+# (mindocr/data/kie_dataset.py reads the same shape) is rendered from the
+# documents table, decoded through sources.datasets.read_xfund
+# (wholetext -> from_json -> double explode), and flattened to scalar
+# entity rows.  The DuckDB oracle recomputes the identical rows from
+# `documents` by integer arithmetic alone — so the JSON render, the
+# from_json schema, and both explodes are all under the value hash.
+#
+# Entity derivation (pure integer arithmetic, shared with ser_tokens'
+# segmentation): segments are ser_tokens segments; label class c =
+# (doc_id + segment_id*7) % 4 with 3 = "other"; box is an affine function
+# of (segment_id, n_tokens); a question segment s (c=0) always has
+# class(s+3) = 1, so RE links are [[s, s+3]] mirrored on both endpoints.
+
+XFUND_CLASS_NAMES = ["question", "answer", "header", "other"]
+
+
+def _xfund_entity_fields(doc_id: int, seg_id: int, ntok: int) -> dict:
+    """Shared arithmetic for the JSON render (python side). The SQL mirror
+    is inlined in XFUND_ENTITIES_SQL — keep the two in lockstep."""
+    cls = (doc_id + seg_id * 7) % 4
+    x1 = 10 + 13 * (seg_id % 37)
+    y1 = 8 + 9 * (seg_id % 61)
+    return {
+        "cls": cls,
+        "label": XFUND_CLASS_NAMES[cls],
+        "box": [x1, y1, x1 + 15 + 7 * (ntok % 11), y1 + 24],
+    }
+
+
+def render_xfund_json(docs_pdf) -> str:
+    """documents pandas -> XFUND-format JSON string (deterministic)."""
+    import json
+
+    out_docs = []
+    for _, row in docs_pdf.sort_values("doc_id").iterrows():
+        doc_id = int(row["doc_id"])
+        toks = str(row["text"]).split(" ")
+        segs: list[list[str]] = []
+        for pos, tok in enumerate(toks):
+            if pos == 0 or (doc_id * 37 + pos) % 4 == 0:
+                segs.append([])
+            segs[-1].append(tok)
+        n_seg = len(segs)
+        entities = []
+        for seg_id0, seg_toks in enumerate(segs):
+            seg_id = seg_id0 + 1
+            f = _xfund_entity_fields(doc_id, seg_id, len(seg_toks))
+            linking = []
+            if f["cls"] == 0 and seg_id + 3 <= n_seg:
+                linking.append([seg_id, seg_id + 3])
+            if f["cls"] == 1 and seg_id - 3 >= 1:
+                linking.append([seg_id - 3, seg_id])
+            entities.append(
+                {
+                    "id": seg_id,
+                    "label": f["label"],
+                    "text": " ".join(seg_toks),
+                    "box": f["box"],
+                    "linking": linking,
+                }
+            )
+        out_docs.append(
+            {
+                "id": f"doc_{doc_id}",
+                "img": {
+                    "fname": f"doc_{doc_id}.png",
+                    "width": 640 + 32 * (doc_id % 10),
+                    "height": 960,
+                },
+                "document": entities,
+            }
+        )
+    return json.dumps({"documents": out_docs})
+
+
+def _xfund_json_path(sf_dir: str) -> str:
+    """Render-once memo of the XFUND JSON fixture (same contract as the
+    derived-corpus memo: content-fingerprint key, process-local tempdir)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..data.derive_corpus import _source_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    key = (sf_dir, _source_fingerprint(src))
+    cached = _XFUND_JSON_CACHE.get(key)
+    if cached is None:
+        out = tempfile.mkdtemp(prefix="mindocr_xfund_json_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        cached = os.path.join(out, "xfund.json")
+        with open(cached, "w") as fh:
+            fh.write(render_xfund_json(pd.read_parquet(src)))
+        _XFUND_JSON_CACHE[key] = cached
+    return cached
+
+
+_XFUND_JSON_CACHE: dict[tuple[str, str], str] = {}
+
+
+from ..sources.datasets import _XFUND_SCHEMA as _XFUND_JSON_SCHEMA  # noqa: E402
+
+
+def xfund_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the rendered XFUND JSON through the file source and flatten
+    to one scalar row per entity: (doc_id, fname, width, entity_id,
+    label, text, x1, y1, x2, y2, links_json)."""
+    from ..sources.datasets import read_xfund
+
+    path = _xfund_json_path(sf_dir)
+    raw = spark.read.text(path, wholetext=True).select(
+        F.from_json("value", _XFUND_JSON_SCHEMA).alias("j")
+    )
+    docs = raw.select(F.explode("j.documents").alias("d"))
+    # read_xfund provides the standard (doc_id, fname, entity...) view;
+    # width is re-selected here because the driver row also certifies the
+    # img-struct decode
+    ents = read_xfund(spark, path)
+    widths = docs.select(
+        F.col("d.id").alias("doc_id"), F.col("d.img.width").alias("width")
+    )
+    return (
+        ents.join(widths, "doc_id")
+        .select(
+            "doc_id",
+            "fname",
+            F.col("width").cast("long").alias("width"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "label",
+            "text",
+            F.element_at("box", 1).cast("long").alias("x1"),
+            F.element_at("box", 2).cast("long").alias("y1"),
+            F.element_at("box", 3).cast("long").alias("x2"),
+            F.element_at("box", 4).cast("long").alias("y2"),
+            F.to_json("linking").alias("links_json"),
+        )
+    )
+
+
+XFUND_ENTITIES_SQL = """
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tok1 AS (
+  SELECT doc_id, pos, tok,
+         (pos = 0 OR (doc_id * 37 + pos) % 4 = 0) AS seg_start
+  FROM tok0
+),
+tok2 AS (
+  SELECT doc_id, pos, tok,
+         (sum(CASE WHEN seg_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING))::BIGINT AS segment_id
+  FROM tok1
+),
+seg AS (
+  SELECT doc_id, segment_id,
+         count(*)::BIGINT AS ntok,
+         string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM tok2 GROUP BY 1, 2
+),
+nseg AS (SELECT doc_id, max(segment_id) AS n_seg FROM seg GROUP BY 1),
+ent AS (
+  SELECT s.doc_id, s.segment_id, s.ntok, s.text, n.n_seg,
+         (s.doc_id + s.segment_id * 7) % 4 AS cls,
+         10 + 13 * (s.segment_id % 37) AS x1,
+         8 + 9 * (s.segment_id % 61) AS y1
+  FROM seg s JOIN nseg n ON s.doc_id = n.doc_id
+)
+SELECT 'doc_' || doc_id AS doc_id,
+       'doc_' || doc_id || '.png' AS fname,
+       (640 + 32 * (doc_id % 10))::BIGINT AS width,
+       segment_id AS entity_id,
+       CASE cls WHEN 0 THEN 'question' WHEN 1 THEN 'answer'
+                WHEN 2 THEN 'header' ELSE 'other' END AS label,
+       text,
+       x1::BIGINT AS x1, y1::BIGINT AS y1,
+       (x1 + 15 + 7 * (ntok % 11))::BIGINT AS x2, (y1 + 24)::BIGINT AS y2,
+       CASE WHEN cls = 0 AND segment_id + 3 <= n_seg
+              THEN '[[' || segment_id || ',' || (segment_id + 3) || ']]'
+            WHEN cls = 1 AND segment_id - 3 >= 1
+              THEN '[[' || (segment_id - 3) || ',' || segment_id || ']]'
+            ELSE '[]' END AS links_json
+FROM ent
+"""

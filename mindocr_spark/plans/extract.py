@@ -170,13 +170,14 @@ def extract_serialized(
     spans: DataFrame,
     media: DataFrame,
     mode: str = "fused",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Driver-facing flagship: ``out_spans`` serialized with ``to_json`` so
     the result is sortable/hashable by a pandas canonicalizer (the typed
     nested schema from :func:`extract` stays the API for programmatic use)."""
-    return extract(spark, spans, media, mode=mode).select(
-        "doc_id", F.to_json("out_spans").alias("out_spans_json")
-    )
+    return extract(
+        spark, spans, media, mode=mode, salt_buckets=salt_buckets
+    ).select("doc_id", F.to_json("out_spans").alias("out_spans_json"))
 
 
 def load_corpus(spark: SparkSession, corpus_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -115,3 +115,63 @@ def stream_windowed_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- driver-gated batch facade (round 5, verdict #5) -------------------------
+
+STREAM_WINDOWED_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, n, sum_value
+FROM agg, mx WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 30 MINUTE
+"""
+
+
+def stream_windowed_counts_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run :func:`stream_windowed_counts` over the events table as an
+    availableNow job and return the sink's contents — the driver-oracled
+    surface for the watermarked-window streaming path (round 5).
+
+    Append-mode watermark semantics are DETERMINISTIC here and exactly
+    SQL-expressible (``STREAM_WINDOWED_SQL``): the job processes the
+    backlog, the watermark settles at max(ts) - 30min, and the final
+    no-data micro-batch flushes every window whose END is <= that
+    watermark — so the emitted set is "all closed windows", regardless of
+    how the backlog was split into micro-batches.  Windows still open at
+    end-of-backlog are (correctly) withheld; a real deployment's next run
+    emits them from the checkpointed state.
+
+    The single-file events table is symlinked into a fresh landing
+    directory because FileStreamSource requires a directory source; sink
+    and checkpoint live in the same per-call tempdir (removed at
+    interpreter exit — the driver contract is stateless)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mindocr_stream_counts_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    landing = os.path.join(tmp, "events")
+    os.makedirs(landing)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        for name in os.listdir(src):
+            if name.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, name), os.path.join(landing, name)
+                )
+    else:
+        os.symlink(src, os.path.join(landing, "part-0.parquet"))
+    q = stream_windowed_counts(
+        spark,
+        landing,
+        os.path.join(tmp, "out"),
+        os.path.join(tmp, "ckpt"),
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(os.path.join(tmp, "out"))

@@ -142,3 +142,38 @@ def test_ser_decode_xfund(spark, tmp_path):
     # gt label for every entity on this fixture
     assert [r.pred_label for r in rows] == ["QUESTION", "ANSWER", "HEADER"]
     assert [r.pred_id for r in rows] == [1, 3, 5]
+
+
+def test_xfund_entities_file_decode_roundtrip(spark):
+    """The XFUND driver query (round 5): render-from-documents -> wholetext
+    JSON decode -> double explode must reproduce the segment table's
+    structure exactly, with RE links mirrored on both endpoints."""
+    df = ops.xfund_entities(spark, SF).toPandas()
+    # one entity per ser_tokens segment
+    segs = (
+        ops.ser_tokens(ops._docs(spark, SF))
+        .select("doc_id", "segment_id")
+        .distinct()
+    )
+    assert len(df) == segs.count()
+    # label arithmetic: class = (doc_id + segment_id*7) % 4
+    for _, r in df.head(200).iterrows():
+        doc_id = int(r["doc_id"].removeprefix("doc_"))
+        cls = (doc_id + int(r["entity_id"]) * 7) % 4
+        assert r["label"] == ops.XFUND_CLASS_NAMES[cls]
+        assert r["fname"] == f"doc_{doc_id}.png"
+        assert int(r["x2"]) > int(r["x1"]) and int(r["y2"]) == int(r["y1"]) + 24
+    # linking mirror: every question link appears verbatim on its answer
+    links = {}
+    for _, r in df.iterrows():
+        if r["links_json"] != "[]":
+            links.setdefault(r["doc_id"], []).append(
+                (int(r["entity_id"]), r["links_json"])
+            )
+    assert links, "corpus must produce RE links"
+    for doc, ents in links.items():
+        by_id = dict(ents)
+        for ent_id, lj in ents:
+            (q, a), = json.loads(lj)
+            assert a == q + 3
+            assert by_id.get(q) == lj and by_id.get(a) == lj

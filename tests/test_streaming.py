@@ -132,3 +132,71 @@ def test_stream_replay_is_idempotent(spark, small_corpus, tmp_path):
     q2 = stream_extract(spark, str(spans_dir), media, out_dir, str(tmp_path / "c2"))
     q2.awaitTermination(240)
     assert _tuples(spark.read.parquet(out_dir)) == want
+
+
+def test_stream_windowed_counts_batch_equals_closed_windows(spark):
+    """The driver facade (round 5): the availableNow streaming job over the
+    events table must emit exactly the CLOSED windows — the batch tumbling
+    aggregation restricted to windows whose end precedes the final
+    watermark (max ts - 30min) — in append mode, regardless of micro-batch
+    splits."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.streaming.incremental import (
+        stream_windowed_counts_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["window_start"], r["n"], r["sum_value"])
+        for r in stream_windowed_counts_batch(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    mx = ev.agg(F.max("ts").alias("m"))
+    want = {
+        (r["window_start"], r["n"], r["sum_value"])
+        for r in (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .crossJoin(mx)
+            .filter(
+                F.col("ws") + F.expr("INTERVAL 1 HOUR")
+                <= F.col("m") - F.expr("INTERVAL 30 MINUTE")
+            )
+            .select(
+                F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n",
+                "sum_value",
+            )
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_salted_flagship_equals_unsalted(spark, small_corpus):
+    """salt_buckets is an execution-strategy knob, not a semantics knob:
+    the two-phase salted reassembly must produce byte-identical serialized
+    output (round 5, the oracle-equality contract behind
+    extract_interleaved_salted)."""
+    from mindocr_spark.plans.extract import extract_serialized, load_corpus
+
+    corpus_dir, _, _ = small_corpus
+    spans, media = load_corpus(spark, corpus_dir)
+    plain = {
+        (r["doc_id"], r["out_spans_json"])
+        for r in extract_serialized(
+            spark, spans, media, mode="exploded"
+        ).collect()
+    }
+    salted = {
+        (r["doc_id"], r["out_spans_json"])
+        for r in extract_serialized(
+            spark, spans, media, mode="exploded", salt_buckets=8
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0

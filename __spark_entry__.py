@@ -206,6 +206,30 @@ def _tensor_stage_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_html_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMaster pred_html per ruled-table payload (round 5): the
+    structure-token decode + matcher composition the reference's
+    predict_table_recognition emits, as a mapInPandas stage over the
+    derived media table. Rows-only (OCR path; exact HTML goldens live in
+    tests/test_table_extract.py + test_table_master.py)."""
+    from pyspark.sql import functions as F
+
+    from mindocr_spark.data.derive_corpus import derive_corpus
+    from mindocr_spark.operators.table_path import (
+        TABLE_HTML_SCHEMA,
+        table_html_iter,
+    )
+
+    _, media = derive_corpus(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism * 2
+    return (
+        media.select("media_ref", "image")
+        .repartition(n, "media_ref")
+        .mapInPandas(table_html_iter, TABLE_HTML_SCHEMA)
+        .orderBy(F.col("media_ref"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ORDERED: the grading driver evaluates at most
     the first 50 entries (round-4 finding: the dict's last four entries
@@ -307,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_eval_selftest": _ocr_eval_selftest,
         "media_health": _media_health,
         "tensor_stage_checksums": _tensor_stage_checksums,
+        "table_html_records": _table_html_records,
     }
 
 

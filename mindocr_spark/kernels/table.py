@@ -115,3 +115,44 @@ def extract_table(img: np.ndarray) -> dict:
         "n_cols": n_cols,
         "cells": [flat[r * n_cols : (r + 1) * n_cols] for r in range(n_rows)],
     }
+
+
+def extract_table_html(img: np.ndarray, header_rows: int = 1) -> str:
+    """Gray table image -> the reference's pred_html
+    (``predict_table_recognition.py`` TableAnalyzer.__call__): structure
+    tokens + cell bboxes from the deterministic grid "model", OCR text
+    boxes from the shared system pipeline on the line-erased image, then
+    the full TableMasterMatcher composition
+    (``functions/table_master.table_master_html``) — match cascade, text
+    insertion, <thead> bolding, ``<html><body><table>`` wrap.
+
+    Returns '' when no ruled grid is found (callers fall back to the
+    plain span path, like the routing in kernels/system.py)."""
+    from ..functions.table_master import (
+        grid_structure_tokens,
+        table_master_html,
+    )
+
+    h_lines, v_lines = detect_grid(img)
+    if len(h_lines) < 2 or len(v_lines) < 2:
+        return ""
+    cells = np.array(grid_cells(h_lines, v_lines), dtype=np.float64)
+    n_rows = len(h_lines) - 1
+    n_cols = len(v_lines) - 1
+    clean = erase_lines(img, h_lines, v_lines)
+    records = ocr_image(clean)
+    texts = [r["transcription"] for r in records]
+    boxes = np.array(
+        [
+            [
+                r["points"][0][0],
+                r["points"][0][1],
+                r["points"][2][0],
+                r["points"][2][1],
+            ]
+            for r in records
+        ],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    tokens = grid_structure_tokens(n_rows, n_cols, header_rows=header_rows)
+    return table_master_html(tokens, cells, boxes, texts)

@@ -86,3 +86,31 @@ def test_table_media_through_extraction_pipeline(spark):
     for mode in ["fused", "exploded"]:
         row = extract(spark, spans_df, media_df, mode=mode).collect()[0]
         assert row["out_spans"][0]["text"] == want, mode
+
+
+def test_extract_table_html_end_to_end():
+    """Rendered ruled grid -> TableMaster HTML (round 5): every non-empty
+    cell's OCR'd text lands in its own <td>, the first row is bolded as
+    <thead>, and the document is the reference's full wrap."""
+    from mindocr_spark.kernels.table import extract_table_html
+
+    cells = [["alpha", "beta"], ["one42", "total"], ["", "gold"]]
+    page, _ = render_table(cells)
+    html = extract_table_html(page)
+    expect = (
+        "<html><body><table>"
+        "<thead><tr><td><b>alpha</b></td><td><b>beta</b></td></tr></thead>"
+        "<tbody>"
+        "<tr><td>one42</td><td>total</td></tr>"
+        "<tr><td></td><td>gold</td></tr>"
+        "</tbody></table></body></html>"
+    )
+    assert html == expect
+
+
+def test_extract_table_html_no_grid_is_empty():
+    from mindocr_spark.functions.glyphs import render_page
+    from mindocr_spark.kernels.table import extract_table_html
+
+    page, _ = render_page([("hello", 20, 20)], 96, 224)
+    assert extract_table_html(page) == ""

@@ -97,6 +97,9 @@ def test_queries_oracle_keys_consistent():
         "ocr_eval_selftest",
         "media_health",
         "tensor_stage_checksums",
+        # round 5: TableMaster pred_html per ruled payload — OCR path,
+        # exact HTML goldens in tests/test_table_extract.py
+        "table_html_records",
     }
 
 

@@ -7,7 +7,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 4)
+PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 5)
 
 Plan-quality notes: the only BroadcastNestedLoopJoin in this file is
 cosine_topk's — intentional: the exact brute-force baseline broadcasts the
@@ -24,7 +24,16 @@ forms end in the exact-jaccard verification join; the KIE metric
 (ser_seqeval_metric) is windows-partitioned-by-doc_id + one exact-span
 equi-join + single-row aggregates; gopher_repetition is one scan, one
 (doc,n,gram) aggregate, one (doc,n) aggregate, and a no-shuffle
-conditional-aggregation pivot.
+conditional-aggregation pivot. Round-5 plan changes: both minhash
+forms hash each shingle ONCE (md5 K-M halves / xxhash64 base fingerprint)
+so the 128-permutation aggregate is pure integer arithmetic over one
+projected column; extract_interleaved_salted inserts the two-phase
+(doc_id, salt) partial-aggregate before the per-doc merge (one extra
+bounded exchange, identical output + oracle); xfund_entities is a
+wholetext scan + from_json + two Generates + a broadcast width join.
+stream_windowed_counts has no batch plan (Structured Streaming:
+watermarked tumbling-window agg -> parquet sink; the facade's returned
+frame is the sink scan).
 """
 
 
@@ -50,6 +59,8 @@ def main() -> None:
         "minhash_lsh_incremental",
         "decontamination_flags",
         "duplicate_span_coverage",
+        "extract_interleaved_salted",
+        "xfund_entities",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

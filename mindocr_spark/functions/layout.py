@@ -72,3 +72,27 @@ def recover_page_text(regions: list[dict], page_width: int) -> str:
     Each region: {"bbox": [...], "text": str}."""
     ordered = sorted_layout_boxes(regions, page_width)
     return "\n".join(r["text"] for r in ordered if r.get("text"))
+
+
+def recover_page_docx(regions: list[dict], page_width: int) -> bytes:
+    """Reading-ordered .docx payload from typed layout regions — the full
+    ``convert_info_docx`` surface (round 5; ``functions/docx_writer``):
+    regions ordered by ``sorted_layout_boxes`` (which stamps the
+    single/double/triple ``layout`` used for column sections), then
+    emitted as WordprocessingML. Each region: {"bbox": [...], "type":
+    "text"|"title"|"table"|"figure", "res": str|bytes} — tables take
+    pred_html, figures take PNG payload bytes."""
+    import os
+    import tempfile
+
+    from .docx_writer import convert_info_docx
+
+    ordered = sorted_layout_boxes(regions, page_width)
+    fd, path = tempfile.mkstemp(suffix=".docx")
+    os.close(fd)
+    try:
+        convert_info_docx(ordered, path)
+        with open(path, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(path)

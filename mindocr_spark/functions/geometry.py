@@ -377,3 +377,22 @@ def is_convex(poly: np.ndarray) -> bool:
     e = np.roll(p, -1, axis=0) - p
     cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
     return bool((cross >= -1e-9).all() or (cross <= 1e-9).all())
+
+
+def clip_poly_to_rect(poly: np.ndarray, w: float, h: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of a polygon to the [0,w]x[0,h] rectangle,
+    returning the clipped VERTICES (possibly degenerate: boundary-touching
+    input yields a zero-area chain, matching shapely's
+    intersects-but-area-0 case). Empty array when fully outside."""
+    p = np.asarray(poly, dtype=np.float64)
+    x, y = p[:, 0], p[:, 1]
+    s = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    pts = [pt for pt in (p if s > 0 else p[::-1])]
+    rect = np.array(
+        [[0.0, 0.0], [w, 0.0], [w, h], [0.0, h]], dtype=np.float64
+    )
+    for i in range(4):
+        if not pts:
+            break
+        pts = _clip_poly_halfplane(pts, rect[i], rect[(i + 1) % 4])
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)

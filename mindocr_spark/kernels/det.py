@@ -273,3 +273,54 @@ def db_postprocess_poly(
         polys.append(poly.astype(np.int64))
         scores.append(score)
     return polys, scores
+
+
+def validate_polygons_train(
+    polys: list[np.ndarray],
+    texts: list[str],
+    ignore_tags: list[bool],
+    hw: tuple[int, int],
+    min_area: float = 1.0,
+    clip_to_visible_area: bool = False,
+    min_vertices: int = 4,
+) -> tuple[list[np.ndarray], list[str], np.ndarray]:
+    """The TRAIN-side ValidatePolygons transform as a standalone kernel
+    (``mindocr/data/transforms/det_transforms.py:668-712``; round 5 —
+    previously folded into :func:`validate_det_res`):
+
+    1. drop polygons fully outside the [0,w]x[0,h] image;
+    2. mark ignored any polygon whose clipped area < ``min_area`` (a
+       boundary-touching polygon intersects with area 0 and is kept
+       ignored, like shapely's box-intersects semantics);
+    3. with ``clip_to_visible_area``, replace coordinates by the clipped
+       vertex chain (vertex count may change) and mark ignored when fewer
+       than ``min_vertices`` remain.
+
+    The reference clips with shapely; here the same convex-border clip is
+    Sutherland–Hodgman (``functions/geometry.clip_poly_to_rect``) —
+    identical for simple polygons against the rectangular border."""
+    from ..functions.geometry import clip_poly_to_rect, poly_area_perimeter
+
+    h, w = int(hw[0]), int(hw[1])
+    new_polys: list[np.ndarray] = []
+    new_texts: list[str] = []
+    new_tags: list[bool] = []
+    for np_poly, text, ignore in zip(polys, texts, ignore_tags):
+        clipped = clip_poly_to_rect(np.asarray(np_poly, dtype=np.float64), w, h)
+        if len(clipped) == 0:
+            continue  # fully outside: dropped entirely
+        area = (
+            poly_area_perimeter(clipped)[0] if len(clipped) >= 3 else 0.0
+        )
+        ignore = bool(ignore)
+        if area < min_area:
+            ignore = True
+        out_poly = np.asarray(np_poly, dtype=np.float64)
+        if clip_to_visible_area:
+            out_poly = clipped
+            if len(out_poly) < min_vertices:
+                ignore = True
+        new_polys.append(out_poly)
+        new_texts.append(text)
+        new_tags.append(ignore)
+    return new_polys, new_texts, np.array(new_tags, dtype=bool)

@@ -125,3 +125,46 @@ class TestMerge:
         page[20:40, 20:40] = (rng.rand(20, 20) > 0.5).astype(np.uint8) * 255
         for rec in ocr_image(page):
             assert rec["score"] >= DROP_SCORE
+
+
+def test_validate_polygons_train_reference_semantics():
+    """ValidatePolygons (det_transforms.py:668-712) as a standalone kernel:
+    outside-drop, min-area ignore (incl. the boundary-touch area-0 case),
+    and the clip_to_visible_area vertex rewrite + min-vertices ignore."""
+    import numpy as np
+
+    from mindocr_spark.kernels.det import validate_polygons_train
+
+    hw = (100, 200)  # h, w
+    inside = np.array([[10, 10], [50, 10], [50, 40], [10, 40]], float)
+    outside = np.array([[300, 300], [320, 300], [320, 320], [300, 320]], float)
+    partial = np.array([[180, 10], [260, 10], [260, 40], [180, 40]], float)
+    tiny = np.array([[5, 5], [5.5, 5], [5.5, 5.5], [5, 5.5]], float)
+    polys = [inside, outside, partial, tiny]
+    texts = ["in", "out", "part", "tiny"]
+    tags = [False, False, False, False]
+
+    ps, ts, ig = validate_polygons_train(polys, texts, tags, hw)
+    # fully-outside dropped; others kept with ORIGINAL coords (no clip flag)
+    assert ts == ["in", "part", "tiny"]
+    np.testing.assert_allclose(ps[1], partial)
+    # tiny: clipped area 0.25 < min_area=1 -> ignored; partial's visible
+    # area is 20x30=600 -> kept
+    assert list(ig) == [False, False, True]
+
+    # clip_to_visible_area rewrites coordinates to the visible region
+    ps2, ts2, ig2 = validate_polygons_train(
+        polys, texts, tags, hw, clip_to_visible_area=True
+    )
+    clipped = ps2[ts2.index("part")]
+    assert clipped[:, 0].max() <= 200 and clipped[:, 0].min() >= 180
+    assert len(clipped) >= 4 and not ig2[ts2.index("part")]
+
+    # boundary-touching polygon: intersects with area 0 -> kept, ignored
+    touch = np.array([[200, 10], [240, 10], [240, 40], [200, 40]], float)
+    ps3, ts3, ig3 = validate_polygons_train([touch], ["t"], [False], hw)
+    assert ts3 == ["t"] and list(ig3) == [True]
+
+    # preexisting ignore tag survives
+    _, _, ig4 = validate_polygons_train([inside], ["x"], [True], hw)
+    assert list(ig4) == [True]

@@ -64,9 +64,12 @@ def classify_and_recognize(
     analysis instead of recomputing it (3 passes -> 2).
 
     ``decoder`` selects the head contract: ``'ctc'`` (RecCTCLabelDecode,
-    blank-sandwiched steps) or ``'attn'`` (RecAttnLabelDecode, GO/STOP
-    framing, ``rec_postprocess.py:255-366``) — the two decode families of
-    the reference's rec model zoo over the same crop analysis."""
+    blank-sandwiched steps), ``'attn'`` (RecAttnLabelDecode, GO/STOP
+    framing, ``rec_postprocess.py:255-366``), ``'master'``
+    (RecMasterLabelDecode: GO/STOP/PAD vocabulary, ``:363-460``) or
+    ``'sar'`` (SARLabelDecode: trailing UKN/BOS-EOS/PAD specials,
+    ``:494-547``) — the decode families of the reference's rec model zoo
+    over the same crop analysis."""
     from .cls import cls_probs_from_analyses
     from .rec import analyze_crop, logits_from_analysis
 
@@ -75,6 +78,20 @@ def classify_and_recognize(
             from ..functions.attn import attn_greedy_decode, attn_logits_from_analysis
 
             return attn_greedy_decode(attn_logits_from_analysis(analysis))
+        if decoder == "master":
+            from ..functions.rec_decoders import (
+                master_greedy_decode,
+                master_logits_from_analysis,
+            )
+
+            return master_greedy_decode(master_logits_from_analysis(analysis))
+        if decoder == "sar":
+            from ..functions.rec_decoders import (
+                sar_greedy_decode,
+                sar_logits_from_analysis,
+            )
+
+            return sar_greedy_decode(sar_logits_from_analysis(analysis))
         return ctc_greedy_decode(logits_from_analysis(analysis))
 
     resized = rec_resize_norm(crop)

@@ -275,3 +275,77 @@ def _table_cells():
         return df.mapInPandas(table_cells_iter, TABLE_CELLS_SCHEMA)
 
     return stage
+
+
+@register_stage("det_labels")
+def _det_labels(min_text_size: int = 8, shrink_ratio: float = 0.4):
+    """DBNet training-label generation (ShrinkBinaryMap + BorderMap,
+    det_transforms.py:230-372) as one mapInPandas stage over
+    (media_ref, width, height, polys_json, ignore_json) rows — the
+    10^12-image training-data-prep shape (round 5). Emits integer
+    checksums of the exact float32 maps plus pixel counts so the stage is
+    cheap to verify at scale; the maps themselves stay kernel-level
+    (kernels/det_label.py, exact-geometry pytest goldens)."""
+    import json
+    from collections.abc import Iterator
+    from functools import partial
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from .kernels.det_label import border_map, shrink_binary_map
+
+    schema = (
+        "media_ref string, n_polys int, n_ignored int, gt_pixels long, "
+        "masked_pixels long, thresh_pixels long, gt_hash long, thresh_hash long"
+    )
+
+    def it(
+        batches: Iterator[pd.DataFrame], mts: int, sr: float
+    ) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                polys = [
+                    np.array(p, dtype=np.float64)
+                    for p in json.loads(r["polys_json"])
+                ]
+                tags = list(json.loads(r["ignore_json"]))
+                hw = (int(r["height"]), int(r["width"]))
+                gt, mask, new_tags = shrink_binary_map(
+                    hw, polys, tags, min_text_size=mts, shrink_ratio=sr
+                )
+                tm, tmask = border_map(hw, polys, list(new_tags), shrink_ratio=sr)
+                rows.append(
+                    {
+                        "media_ref": r["media_ref"],
+                        "n_polys": len(polys),
+                        "n_ignored": int(new_tags.sum()),
+                        "gt_pixels": int(gt.sum()),
+                        "masked_pixels": int((mask == 0).sum()),
+                        "thresh_pixels": int(tmask.sum()),
+                        "gt_hash": zlib.crc32(gt.tobytes()),
+                        "thresh_hash": zlib.crc32(
+                            np.round(tm, 5).astype(np.float32).tobytes()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_polys", "n_ignored", "gt_pixels",
+                    "masked_pixels", "thresh_pixels", "gt_hash", "thresh_hash",
+                ],
+            )
+
+    def stage(df: DataFrame) -> DataFrame:
+        n = df.sparkSession.sparkContext.defaultParallelism * 2
+        return df.repartition(n, F.col("media_ref")).mapInPandas(
+            partial(it, mts=min_text_size, sr=shrink_ratio), schema
+        )
+
+    return stage

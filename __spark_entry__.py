@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         kie,
         quality,
+        rec_labels,
         relational,
         similarity,
     )
@@ -332,6 +333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_health": _media_health,
         "tensor_stage_checksums": _tensor_stage_checksums,
         "table_html_records": _table_html_records,
+        # round 5: RecCTC/RecAttn label encoding over the corpus — fully
+        # oracled (tail position: locally gated by check_oracles)
+        "rec_label_encodings": rec_labels.rec_label_encodings,
     }
 
 
@@ -340,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         kie,
         quality,
+        rec_labels,
         relational,
         similarity,
     )
@@ -418,4 +423,5 @@ def oracle_sql() -> dict[str, str]:
         # oracle recomputes the rendered JSON's entities from `documents`
         "stream_windowed_counts": incremental.STREAM_WINDOWED_SQL,
         "xfund_entities": kie.XFUND_ENTITIES_SQL,
+        "rec_label_encodings": rec_labels.REC_LABEL_ENCODINGS_SQL,
     }

@@ -45,3 +45,62 @@ def valid_rec_label(
     if not filtered:
         return False
     return ctc_effective_len(text) <= max_text_len
+
+
+# --- training-label encodes (round 5) ---------------------------------------
+# rec_transforms.py's deterministic label-encode transforms — the text ->
+# index-sequence prep a training-data pipeline runs per crop label.
+
+MAX_TEXT_LEN = 23  # the reference's RecCTCLabelEncode default
+CTC_BLANK_IDX = len(CHARSET)  # blank_at_last=True
+
+
+def str2idx(
+    text: str,
+    max_text_len: int = MAX_TEXT_LEN,
+    lower: bool = False,
+    charset: str | list[str] | None = None,
+) -> list[int] | None:
+    """``rec_transforms.str2idx`` (:420-453): None when empty or longer
+    than the budget; out-of-dictionary characters are SKIPPED (no
+    unknown substitution by default); None again when nothing valid
+    remains."""
+    if len(text) == 0 or len(text) > max_text_len:
+        return None
+    if lower:
+        text = text.lower()
+    chars = list(charset) if charset is not None else list(CHARSET)
+    lut = {c: i for i, c in enumerate(chars)}
+    idx = [lut[c] for c in text if c in lut]
+    return idx or None
+
+
+def ctc_label_encode(
+    label: str, max_text_len: int = MAX_TEXT_LEN
+) -> tuple[int, list[int]]:
+    """``RecCTCLabelEncode.__call__`` (:112-135): (length, text_seq) with
+    the sequence blank-padded to ``max_text_len``; invalid labels encode
+    as length 0 / all-blank."""
+    idx = str2idx(label, max_text_len) or []
+    return len(idx), idx + [CTC_BLANK_IDX] * (max_text_len - len(idx))
+
+
+ATTN_GO_IDX, ATTN_STOP_IDX = 0, 1
+
+
+def attn_label_encode(
+    label: str, max_text_len: int = MAX_TEXT_LEN
+) -> tuple[int, list[int]]:
+    """``RecAttnLabelEncode.__call__`` (:304-318): character ids offset by
+    the [<GO>, <STOP>] prefix of the attn vocabulary, framed as
+    ``[GO] + ids + [STOP] + [GO]-padding`` (sequence length
+    ``max_text_len + 2``)."""
+    idx = str2idx(label, max_text_len) or []
+    ids = [i + 2 for i in idx]
+    seq = (
+        [ATTN_GO_IDX]
+        + ids
+        + [ATTN_STOP_IDX]
+        + [ATTN_GO_IDX] * (max_text_len - len(ids))
+    )
+    return len(ids), seq

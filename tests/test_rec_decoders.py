@@ -151,3 +151,54 @@ def test_framing_contracts():
     assert s.shape[1] == len(CHARSET) + 3
     assert m[-1].argmax() == rd.MASTER_STOP_IDX
     assert s[-1].argmax() == rd.SAR_END_IDX
+
+
+def test_label_encode_kernels_reference_semantics():
+    """str2idx / RecCTCLabelEncode / RecAttnLabelEncode goldens
+    (rec_transforms.py:28-135, 233-318, 420-453)."""
+    from mindocr_spark.functions.chardict import (
+        attn_label_encode,
+        ctc_label_encode,
+        str2idx,
+    )
+
+    # OOD chars (space) skipped, not substituted
+    assert str2idx("ab c") == [10, 11, 12]
+    # empty / over-budget -> None
+    assert str2idx("") is None and str2idx("x" * 24) is None
+    # all-OOD -> None
+    assert str2idx("   ") is None
+    # CTC: blank(36)-padded to 23, length = valid chars
+    ln, seq = ctc_label_encode("ab1")
+    assert ln == 3 and len(seq) == 23
+    assert seq[:3] == [10, 11, 1] and set(seq[3:]) == {36}
+    ln0, seq0 = ctc_label_encode("x" * 24)
+    assert ln0 == 0 and set(seq0) == {36}
+    # attn: [GO] + (ids+2) + [STOP] + GO-padding, len = max+2
+    ln2, seq2 = attn_label_encode("ab1")
+    assert ln2 == 3 and len(seq2) == 25
+    assert seq2[:5] == [0, 12, 13, 3, 1] and set(seq2[5:]) == {0}
+
+
+def test_rec_label_encodings_query_matches_kernels(spark):
+    """The pure-Catalyst corpus query equals the python kernels row-for-row
+    (the oracle SQL equality is covered by the driver gate)."""
+    from mindocr_spark.functions.chardict import (
+        attn_label_encode,
+        ctc_label_encode,
+    )
+    from mindocr_spark.operators.rec_labels import rec_label_encodings
+
+    rows = rec_label_encodings(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    over_budget = 0
+    for r in rows:
+        ln, seq = ctc_label_encode(r["label"])
+        ln2, seq2 = attn_label_encode(r["label"])
+        assert r["enc_len"] == ln
+        assert r["ctc_seq"] == "-".join(map(str, seq))
+        assert r["attn_seq"] == "-".join(map(str, seq2))
+        if len(r["label"]) > 23:
+            over_budget += 1
+            assert ln == 0
+    assert over_budget > 0  # the None path is actually exercised

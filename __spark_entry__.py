@@ -246,10 +246,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``ocr_golden_records`` / ``ocr_eval_selftest`` / ``media_health`` /
       ``tensor_stage_checksums``: rows-only media surfaces whose kernels
       are already under the flagship hash oracle + exact pytest goldens.
+    - relational twins rotated out in round 5 to make window room for the
+      pretrain suite: ``drop_score_filter`` (same predicate the flagship
+      oracle certifies), ``supplier_part_join`` (join family keeps three
+      in-window greens: inner+agg, semi, anti), ``user_intersection``
+      (set-op evidence, exact-pytest + local gate), ``hourly_event_stats``
+      / ``type_medians`` (time-agg and percentile evidence duplicated by
+      ``sessionize_events`` / ``event_value_quartiles``).
     """
     from mindocr_spark.operators import (
         dedup,
         kie,
+        pretrain,
         quality,
         rec_labels,
         relational,
@@ -273,19 +281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_revenue_topn": relational.order_revenue_topn,
         "collect_lines_by_order": relational.collect_lines_by_order,
         "reading_order_events": relational.reading_order_events,
-        "drop_score_filter": relational.drop_score_filter,
-        "user_intersection": relational.user_intersection,
         "sessionize_events": relational.sessionize_events,
         "rec_metric": relational.rec_metric,
         "det_metric_prf": relational.det_metric_prf,
-        "supplier_part_join": relational.supplier_part_join,
         "explode_reassemble": relational.explode_reassemble,
         "customers_with_orders": relational.customers_with_orders,
         "orders_without_lineitems": relational.orders_without_lineitems,
         "returnflag_rollup": relational.returnflag_rollup,
-        "hourly_event_stats": relational.hourly_event_stats,
         "event_value_quartiles": relational.event_value_quartiles,
-        "type_medians": relational.type_medians,
         "props_json_stats": relational.props_json_stats,
         # dedup suite — production forms (all hash-oracled; the xxhash64
         # family via generated inline XXH64 DuckDB SQL)
@@ -323,8 +326,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the XFUND JSON file-decode path — both fully hash-oracled
         "stream_windowed_counts": stream_windowed_counts_batch,
         "xfund_entities": kie.xfund_entities,
+        # round 5: training-corpus preparation suite — PII scrub,
+        # concat-and-chunk packing, temperature mixture weights, SemDeDup,
+        # boilerplate line strip — all fully hash-oracled
+        "pii_redaction": pretrain.pii_redaction,
+        "sequence_packing": pretrain.sequence_packing,
+        "mixture_weights": pretrain.mixture_weights,
+        "semdedup": pretrain.semdedup,
+        "boilerplate_line_removal": pretrain.boilerplate_line_removal,
         # ---- tail: positions > 50 (no driver verdict expected; see
         # docstring) --------------------------------------------------
+        "drop_score_filter": relational.drop_score_filter,
+        "user_intersection": relational.user_intersection,
+        "supplier_part_join": relational.supplier_part_join,
+        "hourly_event_stats": relational.hourly_event_stats,
+        "type_medians": relational.type_medians,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dup_banded": dedup.simhash_near_dup_banded,
         "simhash_near_dup_manku": dedup.simhash_near_dup_manku,
@@ -343,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
     from mindocr_spark.operators import (
         dedup,
         kie,
+        pretrain,
         quality,
         rec_labels,
         relational,
@@ -423,5 +440,15 @@ def oracle_sql() -> dict[str, str]:
         # oracle recomputes the rendered JSON's entities from `documents`
         "stream_windowed_counts": incremental.STREAM_WINDOWED_SQL,
         "xfund_entities": kie.XFUND_ENTITIES_SQL,
+        # round 5: training-corpus preparation suite — PII counts +
+        # md5-of-redacted-text, integer packing offsets, basis-point
+        # mixture weights, IVF-cell SemDeDup, boilerplate strip; every
+        # float enters as a correctly-rounded scalar (no cross-engine
+        # summation-order hazard — see pretrain.py docstrings)
+        "pii_redaction": pretrain.PII_REDACTION_SQL,
+        "sequence_packing": pretrain.SEQUENCE_PACKING_SQL,
+        "mixture_weights": pretrain.MIXTURE_WEIGHTS_SQL,
+        "semdedup": pretrain.SEMDEDUP_SQL,
+        "boilerplate_line_removal": pretrain.BOILERPLATE_SQL,
         "rec_label_encodings": rec_labels.REC_LABEL_ENCODINGS_SQL,
     }

@@ -39,6 +39,11 @@ HEADLINE = [
     "decontamination_flags",
     "stream_windowed_counts",
     "xfund_entities",
+    "pii_redaction",
+    "sequence_packing",
+    "mixture_weights",
+    "semdedup",
+    "boilerplate_line_removal",
 ]
 
 

@@ -1,0 +1,523 @@
+"""Training-corpus *preparation* operators — the steps that sit between a
+filtered/deduplicated corpus and the tokenizer feeding a trainer.  The
+reference repo stops at per-image OCR outputs (``predict_system.py`` writes
+prediction files); a 100 TB training-data pipeline additionally needs the
+operators here, so they are first-class ``queries()`` entries like the
+dedup/quality suites:
+
+- :func:`pii_redaction` — regex PII detection + redaction (emails, IPv4,
+  phone numbers), the Dolma/FineWeb-style scrub pass.
+- :func:`sequence_packing` — concat-and-chunk packing: the standard LLM
+  pretraining step that concatenates the token stream in a canonical
+  document order and cuts fixed-length training sequences; emits each
+  document's token span and the sequence ids it lands in.
+- :func:`mixture_weights` — per-(source, lang) token shares and
+  temperature-adjusted sampling weights (T = 0.5, i.e. sqrt scaling — the
+  multilingual-sampling recipe of Conneau & Lample), in exact basis-point
+  integer arithmetic so the oracle is float-hazard-free.
+- :func:`semdedup` — SemDeDup (Abbas et al. 2023): k-means-style cells
+  (the deterministic IVF centroids shared with ``similarity.ivf_topk``),
+  pairwise cosine INSIDE each cell only, keep the lowest ``vec_id`` of
+  every duplicate group.
+- :func:`boilerplate_line_removal` — RefinedWeb-style cross-document
+  boilerplate strip: segment each doc into fixed 8-word "lines", drop any
+  line whose exact text appears in >= BOILERPLATE_MIN_DOCS distinct
+  documents, and re-assemble the cleaned text in order.
+
+Scale notes (100 TB): every operator is a bucketed equi-join or a
+map-side-combinable aggregate.  ``sequence_packing`` deliberately avoids
+the naive global running-sum window (one partition = one task): it computes
+per-bucket partial sums in parallel and folds only the tiny bucket-totals
+table on a single partition, the classic two-phase scan pattern.
+``semdedup``'s per-cell pairwise work is bounded by cell size (centroid
+count grows with N, as in the paper).  ``boilerplate_line_removal``
+shuffles the compact (doc_id, line) table by line text — the same shape as
+``quality.duplicate_span_coverage``'s gram shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import (
+    _DOT,
+    _DOT_DUCK,
+    _L2_DUCK,
+    _emb,
+    _with_norm,
+    N_IVF_CENTROIDS,
+    NEAR_DUP_COS,
+)
+
+# --- PII redaction -----------------------------------------------------------
+# The synthetic corpus carries no PII, so the query derives a deterministic
+# "raw page" per document (the xfund_entities pattern: render, then run the
+# real operator) — every fourth doc gets an email / IPv4 / phone span
+# appended, one class of docs stays clean so the no-match path is under the
+# oracle too.  The regexes are chosen to be Java-regex / RE2 compatible
+# (no backreferences, no lookaround — the CLAUDE.md oracle invariant).
+
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+# Spark side: one SQL expression producing the derived raw text.
+_PII_RAW_SPARK = (
+    "concat(text, case cast(doc_id % 4 as int) "
+    " when 0 then concat(' contact u', cast(doc_id as string), '@example.com now') "
+    " when 1 then concat(' node at 10.', cast(doc_id % 256 as string), '.0.', "
+    "                    cast((doc_id * 7) % 256 as string)) "
+    " when 2 then concat(' call +1 555-', lpad(cast((doc_id * 37) % 10000 as string), 4, '0')) "
+    " else '' end)"
+)
+
+# DuckDB mirror of the same derivation.
+_PII_RAW_DUCK = (
+    "concat(text, CASE (doc_id % 4)::INT "
+    " WHEN 0 THEN concat(' contact u', doc_id::VARCHAR, '@example.com now') "
+    " WHEN 1 THEN concat(' node at 10.', (doc_id % 256)::VARCHAR, '.0.', "
+    "                    ((doc_id * 7) % 256)::VARCHAR) "
+    " WHEN 2 THEN concat(' call +1 555-', lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0')) "
+    " ELSE '' END)"
+)
+
+
+def redact_pii(df: DataFrame, col: str = "raw") -> DataFrame:
+    """The actual operator: count + redact email/IPv4/phone spans in ``col``.
+
+    Pure Catalyst (``regexp_count`` / ``regexp_replace`` are JVM
+    intrinsics); redaction order is email -> ip -> phone, fixed so both
+    engines rewrite identically (the email regex would otherwise eat an
+    already-redacted ``<IP>`` token's dots — order is part of the
+    contract).  At 100 TB this is a stateless map — no shuffle at all.
+    """
+    # Python-API regexp_* only: an F.expr SQL literal would re-parse the
+    # pattern's backslashes ('\+' -> '+', an invalid regex).
+    c = F.col(col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long"))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long"))
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+                    PII_IPV4_RE,
+                    "<IP>",
+                ),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+        )
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-page PII scrub: doc_id, per-class match counts, and the md5
+    fingerprint of the redacted text (md5 is engine-exact, so the full
+    rewritten string is under the hash oracle without shipping it)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.withColumn("raw", F.expr(_PII_RAW_SPARK))
+    r = redact_pii(d, "raw")
+    return r.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+        .cast("long")
+        .alias("pii_total"),
+        F.md5(F.col("redacted")).alias("redacted_fp"),
+    )
+
+
+PII_REDACTION_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_PII_RAW_DUCK} AS raw FROM documents
+),
+counted AS (
+  SELECT doc_id, raw,
+         len(regexp_extract_all(raw, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(raw, '{PII_IPV4_RE}'))::BIGINT AS n_ips,
+         len(regexp_extract_all(raw, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(raw,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM raw
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       (n_emails + n_ips + n_phones)::BIGINT AS pii_total,
+       md5(redacted) AS redacted_fp
+FROM counted
+"""
+
+
+# --- Sequence packing (concat-and-chunk) -------------------------------------
+
+SEQ_LEN = 256  # tokens per training sequence
+PACK_BUCKET_DOCS = 1024  # docs per partial-sum bucket (two-phase scan)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing in canonical doc_id order.
+
+    Every document's whitespace-token count is laid out on one global
+    token axis (offset = sum of all earlier docs' counts); training
+    sequence ``s`` owns tokens ``[s*SEQ_LEN, (s+1)*SEQ_LEN)``.  Emits per
+    doc: token count, global start offset, first/last sequence id, and
+    whether the doc crosses a sequence boundary (the attention-masking
+    hot case).
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_token_layout(d)
+
+
+def pack_token_layout(d: DataFrame) -> DataFrame:
+    """Composable core of :func:`sequence_packing` over a
+    ``(doc_id, n_tokens)`` frame (jobs/corpus_prep_job.py packs the
+    CLEANED, FILTERED corpus through this).
+
+    The global prefix sum is NOT a single-partition window: docs fold
+    into ``doc_id div PACK_BUCKET_DOCS`` buckets, the within-bucket
+    running sum is a window PARTITIONED by bucket (parallel), and only
+    the bucket-totals table (N / 1024 rows) pays a one-partition ordered
+    window before being broadcast back.  At 10^12 docs that inner table
+    is ~10^9 rows — fold it once more with the same trick if needed; the
+    pattern telescopes.
+    """
+    d = d.withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_DOCS}"))
+    w_in = Window.partitionBy("bucket").orderBy("doc_id")
+    d = d.withColumn("local_end", F.sum("n_tokens").over(w_in))
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "boffset", F.coalesce(F.sum("btot").over(w_b), F.lit(0).cast("long"))
+    ).select("bucket", "boffset")
+    j = d.join(F.broadcast(offsets), "bucket")
+    j = j.withColumn("tok_start", F.col("boffset") + F.col("local_end") - F.col("n_tokens"))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(tok_start + n_tokens - 1) div {SEQ_LEN}").alias("last_seq"),
+        F.expr(
+            f"cast(((tok_start + n_tokens - 1) div {SEQ_LEN}) - (tok_start div {SEQ_LEN}) as int)"
+        ).alias("n_boundaries_crossed"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           - n_tokens AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // {SEQ_LEN})::BIGINT AS first_seq,
+       ((tok_start + n_tokens - 1) // {SEQ_LEN})::BIGINT AS last_seq,
+       (((tok_start + n_tokens - 1) // {SEQ_LEN})
+         - (tok_start // {SEQ_LEN}))::INT AS n_boundaries_crossed
+FROM c
+"""
+
+
+# --- Mixture weights (temperature sampling) ----------------------------------
+
+_SQRT_SCALE = 100_000_000  # 1e8: fixed-point precision for sqrt(share)
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) token shares and T=0.5 sampling weights.
+
+    Float hazards are engineered out: group token sums are exact BIGINTs;
+    ``share`` enters floating point only as a single int/int division
+    (identical correctly-rounded double on both engines); ``sqrt`` of that
+    double is correctly rounded (IEEE 754) so also identical; the sqrt is
+    then FLOORED to 1e-8 fixed point and every later step (normalizer sum,
+    basis-point weights) is integer arithmetic — no cross-engine float
+    summation order anywhere.  Output weights are basis points (BIGINT).
+
+    At 100 TB the group table is ~|sources|x|langs| rows: the heavy part
+    is one map-side-combinable sum over documents; everything after runs
+    on a table that fits in the driver's coffee break.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.sum("n_tokens").alias("grp_tokens"), F.count("*").alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    g = g.withColumn("total_tokens", F.sum("grp_tokens").over(w_all))
+    g = g.withColumn(
+        "sqrt_fp",
+        F.expr(
+            f"cast(floor(sqrt(cast(grp_tokens as double) / cast(total_tokens as double)) "
+            f"* {_SQRT_SCALE}) as bigint)"
+        ),
+    )
+    g = g.withColumn("sqrt_fp_total", F.sum("sqrt_fp").over(w_all))
+    return g.select(
+        "source",
+        "lang",
+        "grp_tokens",
+        "n_docs",
+        F.expr("(10000 * grp_tokens) div total_tokens").alias("share_bp"),
+        F.expr("(10000 * sqrt_fp) div sqrt_fp_total").alias("weight_bp"),
+    )
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH d AS (
+  SELECT source, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT source, lang, sum(n_tokens)::BIGINT AS grp_tokens,
+         count(*)::BIGINT AS n_docs
+  FROM d GROUP BY source, lang
+),
+t AS (
+  SELECT *, (sum(grp_tokens) OVER ())::BIGINT AS total_tokens FROM g
+),
+s AS (
+  SELECT *,
+         floor(sqrt(grp_tokens::DOUBLE / total_tokens::DOUBLE)
+               * {_SQRT_SCALE})::BIGINT AS sqrt_fp
+  FROM t
+),
+n AS (
+  SELECT *, (sum(sqrt_fp) OVER ())::BIGINT AS sqrt_fp_total FROM s
+)
+SELECT source, lang, grp_tokens, n_docs,
+       ((10000 * grp_tokens) // total_tokens)::BIGINT AS share_bp,
+       ((10000 * sqrt_fp) // sqrt_fp_total)::BIGINT AS weight_bp
+FROM n
+"""
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-scoped
+    cosine.  Embeddings are assigned to the deterministic IVF centroids
+    (first ``N_IVF_CENTROIDS`` vectors, L2, ties to the lower id — the
+    exact assignment ``similarity.ivf_topk`` is already hash-certified
+    on), then pairs are compared ONLY inside a cell; a vector is dropped
+    when a lower-id vector in its cell has cosine >= NEAR_DUP_COS, and
+    ``dup_of`` records the smallest such keeper-side id.
+
+    Per-cell pairwise cost is bounded by cell size — at scale the
+    centroid count grows with N (the paper runs 50k clusters on LAION),
+    so cells stay ~constant and the join is a plain equi-join on ``cell``
+    with bounded fan-out, never a corpus×corpus product.
+    """
+    return semdedup_flags(_with_norm(_emb(spark, sf_dir)))
+
+
+def semdedup_flags(emb: DataFrame) -> DataFrame:
+    """Composable core of :func:`semdedup` over a ``(vec_id, embedding,
+    norm)`` frame (jobs/corpus_prep_job.py feeds it the corpus
+    embeddings directly)."""
+    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, ce, (x, y) -> "
+                "(cast(x as double) - cast(y as double)) * "
+                "(cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v)"
+            ),
+            4,
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cent_id").asc()
+    )
+    # persist the assignment: it feeds both sides of the pair join and the
+    # final keep/drop projection (3 consumers) — at scale this is the
+    # materialized cluster-assignment table of the SemDeDup recipe, not an
+    # optional cache
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", F.col("cent_id").alias("cell"))
+        .persist()
+    )
+    lo = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("ke"),
+        F.col("norm").alias("kn"),
+    )
+    dup_links = (
+        assigned.join(lo, "cell")
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="embedding", b="ke") + " / (norm * kn)"), 4
+            ),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .groupBy("vec_id")
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_links, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < {N_IVF_CENTROIDS}),
+dists AS (
+  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+         round({_L2_DUCK.format(a='e.embedding', b='c.ce')}, 4) AS dist
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, norm, cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist ASC, cent_id ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+dup_links AS (
+  SELECT v.vec_id, min(k.vec_id)::BIGINT AS dup_of
+  FROM assigned v JOIN assigned k ON k.cell = v.cell AND k.vec_id < v.vec_id
+  WHERE round({_DOT_DUCK.format(a='v.embedding', b='k.embedding')}
+              / (v.norm * k.norm), 4) >= {NEAR_DUP_COS}
+  GROUP BY v.vec_id
+)
+SELECT a.vec_id, a.cell,
+       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::INT AS is_kept,
+       d.dup_of
+FROM assigned a LEFT JOIN dup_links d ON d.vec_id = a.vec_id
+"""
+
+
+# --- Boilerplate line removal ------------------------------------------------
+
+LINE_WORDS = 8  # words per synthetic "line"
+BOILERPLATE_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+
+
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style cross-document boilerplate strip.
+
+    The corpus has no newlines, so a "line" is a fixed window of
+    LINE_WORDS consecutive words (last line may be short) — the same
+    fixed-segmentation convention as the shingle operators.  Any line
+    text occurring in >= BOILERPLATE_MIN_DOCS DISTINCT documents is
+    dropped from every document; the cleaned text is re-assembled in
+    original line order and fingerprinted (md5 — engine-exact).
+
+    Plan shape at 100 TB: explode to the compact (doc_id, idx, line)
+    table (repartitioned by doc_id so the explode parallelizes off
+    single-split inputs), one groupBy(line) distinct-doc count — the same
+    shuffle class as duplicate_span_coverage — an equi-join back, and a
+    groupBy(doc_id) re-assembly.  No driver-side state.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return boilerplate_clean(d).select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_fp"),
+    )
+
+
+def boilerplate_clean(d: DataFrame) -> DataFrame:
+    """Composable core of :func:`boilerplate_line_removal`: returns
+    ``(doc_id, n_lines, n_removed, cleaned_text)`` — the actual cleaned
+    text, which jobs/corpus_prep_job.py carries forward into packing; the
+    registered query fingerprints it with md5 instead of shipping it."""
+    d = d.repartition(64, "doc_id")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_WORDS}.0) as int)), "
+                f"i -> array_join(slice(split(text, ' '), (i - 1) * {LINE_WORDS} + 1, {LINE_WORDS}), ' '))"
+            )
+        ).alias("idx", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("line_docs")
+    )
+    tagged = lines.join(freq, "line").withColumn(
+        "is_bp", (F.col("line_docs") >= BOILERPLATE_MIN_DOCS).cast("int")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("is_bp").cast("long").alias("n_removed"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(if(is_bp = 0, struct(idx, line), null))), "
+                    "s -> s.line)"
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "cleaned_text")
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(string_split(text, ' ')
+             [(i - 1) * {LINE_WORDS} + 1 : i * {LINE_WORDS}], ' ') AS line
+  FROM documents,
+       unnest(range(1, ceil(len(string_split(text, ' ')) / {LINE_WORDS}.0)::INT + 1)) AS u(i)
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id)::BIGINT AS line_docs
+  FROM lines GROUP BY line
+),
+tagged AS (
+  SELECT l.doc_id, l.idx, l.line,
+         (CASE WHEN f.line_docs >= {BOILERPLATE_MIN_DOCS} THEN 1 ELSE 0 END) AS is_bp
+  FROM lines l JOIN freq f ON f.line = l.line
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(is_bp)::BIGINT AS n_removed,
+       md5(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE is_bp = 0)) AS cleaned_fp
+FROM tagged
+GROUP BY doc_id
+"""

@@ -1,0 +1,273 @@
+"""Training-corpus preparation suite (operators/pretrain.py): hand-computed
+fixtures pin the operator definitions (redaction rewrites, packing offsets,
+fixed-point weight arithmetic, SemDeDup keep rule, boilerplate strip); the
+driver's DuckDB hash oracle pins Spark==DuckDB on the corpus."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mindocr_spark.operators import pretrain as P
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- PII redaction -----------------------------------------------------------
+
+
+def test_redact_pii_hand_cases(spark):
+    rows = spark.createDataFrame(
+        [
+            (0, "write to alice.b+spam@mail-host.example.org today"),
+            (1, "server 192.168.0.1 and 10.0.255.3 are up"),
+            (2, "dial +1 555-0199 or +44 202-7946"),
+            (3, "no pii here, just words and 1234 numbers"),
+            (4, "mixed: bob@x.io on 127.0.0.1 call +9 123-4567"),
+        ],
+        "doc_id long, raw string",
+    )
+    out = {r.doc_id: r.asDict() for r in P.redact_pii(rows).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["redacted"] == "write to <EMAIL> today"
+    assert out[1]["n_ips"] == 2 and out[1]["redacted"] == "server <IP> and <IP> are up"
+    assert out[2]["n_phones"] == 2 and out[2]["redacted"] == "dial <PHONE> or <PHONE>"
+    assert (
+        out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+        and out[3]["redacted"] == rows.collect()[3].raw
+    )
+    assert out[4]["redacted"] == "mixed: <EMAIL> on <IP> call <PHONE>"
+
+
+def test_pii_redaction_corpus_counts(spark):
+    # injection covers each class on doc_id%4 ∈ {0,1,2}; %4==3 stays clean
+    df = P.pii_redaction(spark, SF).toPandas().set_index("doc_id").sort_index()
+    assert (df.loc[df.index % 4 == 0, "n_emails"] >= 1).all()
+    assert (df.loc[df.index % 4 == 1, "n_ips"] >= 1).all()
+    assert (df.loc[df.index % 4 == 2, "n_phones"] >= 1).all()
+    clean = df.loc[df.index % 4 == 3]
+    assert (clean[["n_emails", "n_ips", "n_phones"]].to_numpy() == 0).all()
+    assert (df["pii_total"] == df.n_emails + df.n_ips + df.n_phones).all()
+
+
+# --- Sequence packing --------------------------------------------------------
+
+
+def _naive_packing(sf_dir: str) -> pd.DataFrame:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    docs = docs.sort_values("doc_id", ignore_index=True)
+    docs["n_tokens"] = docs.text.str.split(" ").str.len()
+    docs["tok_start"] = docs.n_tokens.cumsum() - docs.n_tokens
+    docs["first_seq"] = docs.tok_start // P.SEQ_LEN
+    docs["last_seq"] = (docs.tok_start + docs.n_tokens - 1) // P.SEQ_LEN
+    return docs
+
+
+def test_sequence_packing_matches_naive_cumsum(spark):
+    got = (
+        P.sequence_packing(spark, SF)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _naive_packing(SF)
+    assert (got.n_tokens.to_numpy() == want.n_tokens.to_numpy()).all()
+    assert (got.tok_start.to_numpy() == want.tok_start.to_numpy()).all()
+    assert (got.first_seq.to_numpy() == want.first_seq.to_numpy()).all()
+    assert (got.last_seq.to_numpy() == want.last_seq.to_numpy()).all()
+    assert (
+        got.n_boundaries_crossed.to_numpy()
+        == (want.last_seq - want.first_seq).to_numpy()
+    ).all()
+    # token conservation: offsets tile the concatenated stream exactly
+    assert got.tok_start.iloc[0] == 0
+    ends = (got.tok_start + got.n_tokens).to_numpy()
+    assert (got.tok_start.to_numpy()[1:] == ends[:-1]).all()
+
+
+def test_sequence_packing_multi_bucket(spark, monkeypatch):
+    # 500 docs over 16-doc buckets exercises the two-phase prefix sum
+    # (32 partial-sum partitions + the tiny bucket-offset fold); the
+    # result must be identical to the single-bucket global cumsum
+    monkeypatch.setattr(P, "PACK_BUCKET_DOCS", 16)
+    got = (
+        P.sequence_packing(spark, SF)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _naive_packing(SF)
+    assert (got.tok_start.to_numpy() == want.tok_start.to_numpy()).all()
+    assert (got.last_seq.to_numpy() == want.last_seq.to_numpy()).all()
+
+
+# --- Mixture weights ---------------------------------------------------------
+
+
+def test_mixture_weights_fixed_point(spark):
+    got = (
+        P.mixture_weights(spark, SF)
+        .toPandas()
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = docs.text.str.split(" ").str.len()
+    g = (
+        docs.groupby(["source", "lang"], as_index=False)
+        .agg(grp_tokens=("n_tokens", "sum"), n_docs=("doc_id", "count"))
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    total = int(g.grp_tokens.sum())
+    sqrt_fp = np.array(
+        [int(math.floor(math.sqrt(t / total) * P._SQRT_SCALE)) for t in g.grp_tokens],
+        dtype=np.int64,
+    )
+    assert (got.grp_tokens.to_numpy() == g.grp_tokens.to_numpy()).all()
+    assert (got.share_bp.to_numpy() == (10000 * g.grp_tokens.to_numpy()) // total).all()
+    assert (got.weight_bp.to_numpy() == (10000 * sqrt_fp) // sqrt_fp.sum()).all()
+    # floor-div weights under-shoot 10000 by at most the group count
+    assert 10000 - len(g) <= got.weight_bp.sum() <= 10000
+    # temperature flattens: sqrt weights are closer to uniform than shares
+    assert got.weight_bp.max() - got.weight_bp.min() < (
+        got.share_bp.max() - got.share_bp.min()
+    ) or got.share_bp.nunique() == 1
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def test_semdedup_matches_numpy_recompute(spark):
+    got = P.semdedup(spark, SF).toPandas().sort_values("vec_id", ignore_index=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    cents = X[: P.N_IVF_CENTROIDS]
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).round(4)
+    cell = d2.argmin(axis=1)  # argmin takes lowest index on ties
+    assert (got.cell.to_numpy() == cell).all()
+    cos = np.round((X @ X.T) / np.outer(norms, norms), 4)
+    dup_of = {}
+    for v in range(len(X)):
+        peers = [
+            k
+            for k in range(v)
+            if cell[k] == cell[v] and cos[v, k] >= P.NEAR_DUP_COS
+        ]
+        if peers:
+            dup_of[v] = min(peers)
+    for r in got.itertuples():
+        if r.vec_id in dup_of:
+            assert r.is_kept == 0 and r.dup_of == dup_of[r.vec_id]
+        else:
+            assert r.is_kept == 1 and pd.isna(r.dup_of)
+    assert got.is_kept.sum() < len(got)  # the corpus does contain semantic dups
+
+
+# --- Boilerplate line removal ------------------------------------------------
+
+
+def _write_docs(tmp_path, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    out = tmp_path / "docs"
+    out.mkdir()
+    pdf.to_parquet(out / "documents.parquet")
+    return str(out)
+
+
+def test_boilerplate_removal_hand_case(spark, tmp_path):
+    bp = " ".join(["w"] * P.LINE_WORDS)  # the shared boilerplate line
+    uniq = [f"u{i}" for i in range(P.LINE_WORDS)]
+    texts = [
+        bp + " " + " ".join(uniq),  # line0 = bp, line1 unique
+        bp,  # only the boilerplate line
+        bp + " tail words",  # bp + short trailing line
+        " ".join(f"v{i}" for i in range(P.LINE_WORDS)),  # clean doc
+    ]
+    out = {
+        r.doc_id: r.asDict()
+        for r in P.boilerplate_line_removal(
+            spark, _write_docs(tmp_path, texts)
+        ).collect()
+    }
+    assert out[0]["n_lines"] == 2 and out[0]["n_removed"] == 1
+    assert out[0]["cleaned_fp"] == hashlib.md5(" ".join(uniq).encode()).hexdigest()
+    assert out[1]["n_lines"] == 1 and out[1]["n_removed"] == 1
+    assert out[1]["cleaned_fp"] == hashlib.md5(b"").hexdigest()
+    assert out[2]["n_removed"] == 1
+    assert out[2]["cleaned_fp"] == hashlib.md5(b"tail words").hexdigest()
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_fp"] == hashlib.md5(texts[3].encode()).hexdigest()
+
+
+def test_boilerplate_below_threshold_kept(spark, tmp_path):
+    # the same line in only BOILERPLATE_MIN_DOCS-1 docs is NOT boilerplate
+    line = " ".join(["k"] * P.LINE_WORDS)
+    texts = [line] * (P.BOILERPLATE_MIN_DOCS - 1)
+    df = P.boilerplate_line_removal(spark, _write_docs(tmp_path, texts)).toPandas()
+    assert (df.n_removed == 0).all()
+
+
+# --- Plan shapes -------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [P.pii_redaction, P.sequence_packing, P.mixture_weights, P.boilerplate_line_removal],
+)
+def test_pretrain_plans_no_cartesian(spark, fn):
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_plan_shape(spark):
+    # centroid assignment (the one intentional 8-row broadcast NL join) is
+    # persisted and REUSED by all three consumers — the plan must show the
+    # cache scans and a shuffle equi-join for the within-cell pairs, and
+    # never a cartesian product (the BNLJ text recurring under each
+    # InMemoryTableScan is the printed cached subtree, not re-execution)
+    plan = P.semdedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+# --- corpus-prep job composition --------------------------------------------
+
+
+def test_corpus_prep_job_composition(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus_prep_job import run_corpus_prep
+
+    out = str(tmp_path / "prep")
+    stats = run_corpus_prep(spark, SF, out, n_buckets=8)
+    assert stats["n_raw"] == 500
+    # every stage is a filter: kept <= raw, written <= kept (empty docs drop)
+    assert 0 < stats["n_kept"] <= stats["n_raw"]
+    assert 0 < stats["n_written"] <= stats["n_kept"]
+    corpus = pd.read_parquet(f"{out}/corpus")
+    assert len(corpus) == stats["n_written"]
+    assert stats["total_tokens"] == corpus.n_tokens.sum()
+    # packing invariant holds over the filtered corpus: offsets tile the
+    # concatenated stream exactly, in doc_id order
+    c = corpus.sort_values("doc_id", ignore_index=True)
+    assert c.tok_start.iloc[0] == 0
+    assert (
+        c.tok_start.to_numpy()[1:] == (c.tok_start + c.n_tokens).to_numpy()[:-1]
+    ).all()
+    # no PII or boilerplate survives in the written text
+    assert (c.n_pii >= 0).all() and not c.clean_text.str.contains("@").any()
+    # bucketed layout + manifest written
+    assert (tmp_path / "prep" / "manifest.json").exists()
+    assert pd.read_parquet(f"{out}/weights").shape[0] == stats["n_weight_groups"]
+    assert corpus.bucket.nunique() == 8

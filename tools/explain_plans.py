@@ -33,7 +33,16 @@ bounded exchange, identical output + oracle); xfund_entities is a
 wholetext scan + from_json + two Generates + a broadcast width join.
 stream_windowed_counts has no batch plan (Structured Streaming:
 watermarked tumbling-window agg -> parquet sink; the facade's returned
-frame is the sink scan).
+frame is the sink scan). Round-5 pretrain suite: pii_redaction is a pure
+stateless Project (zero exchanges — scan, derive, regexp, md5);
+sequence_packing shows the two-phase prefix sum (per-bucket window after
+one hash exchange, the single-partition window ONLY over the tiny
+bucket-totals aggregate, broadcast join back); mixture_weights is one
+map-side-combinable aggregate plus windows over the ~|src|x|lang| group
+table; semdedup persists the centroid assignment (InMemoryTableScan x3 —
+the 8-row broadcast NL join under it executes once) and pairs via a
+SortMergeJoin on cell; boilerplate_line_removal is explode -> gram-count
+exchange -> equi-join back -> per-doc reassembly aggregate.
 """
 
 
@@ -61,6 +70,11 @@ def main() -> None:
         "duplicate_span_coverage",
         "extract_interleaved_salted",
         "xfund_entities",
+        "pii_redaction",
+        "sequence_packing",
+        "mixture_weights",
+        "semdedup",
+        "boilerplate_line_removal",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

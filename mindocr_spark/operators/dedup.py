@@ -75,26 +75,35 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     mass below the S-curve knee) are removed, so the operator's output is
     hash-family-independent up to recall. Work is bounded by candidate
     volume x shingles-per-doc (each candidate joins only its own two
-    shingle sets), never by corpus size."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shingle sets), never by corpus size.
+
+    Round 5: when ``cand`` already carries ``na``/``nb`` (per-doc shingle
+    counts piggybacked on the minhash groupBy — zero extra shuffles), the
+    corpus-wide sizes aggregate and both doc-keyed size joins are skipped
+    entirely; at 10^12 docs those were two corpus-scale shuffles."""
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            *(["na", "nb"] if "na" in cand.columns else []),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(
+    if "na" not in cand.columns:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        inter = inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
-        )
-        .join(
+        ).join(
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
-        .filter(
+    return (
+        inter.filter(
             F.lit(JACCARD_T_DEN) * F.col("inter")
             >= F.lit(JACCARD_T_NUM)
             * (F.col("na") + F.col("nb") - F.col("inter"))
@@ -250,10 +259,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.min(F.expr(_km_expr(s))).alias(f"mh{s}")
             for s in range(N_MINHASH)
-        ]
+        ],
+        F.count("*").alias("n"),
     )
     bands = mh.select(
         "doc_id",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -273,7 +284,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "band")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
@@ -301,7 +315,12 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, ["band_no", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     return _verify_candidates(sh, cand)
@@ -324,10 +343,14 @@ def _xxhash_bands(sh: DataFrame) -> DataFrame:
         *[
             F.min(F.xxhash64(F.lit(s), F.col("bh"))).alias(f"mh{s}")
             for s in range(N_MINHASH)
-        ]
+        ],
+        # per-doc shingle count rides the SAME aggregate (zero extra
+        # shuffles) so the verify stage needs no sizes join (round 5)
+        F.count("*").alias("n"),
     )
     bands = mh.select(
         "doc_id",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -341,7 +364,7 @@ def _xxhash_bands(sh: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_no", "band.band_key")
+    ).select("doc_id", "n", "band.band_no", "band.band_key")
     return persist_intermediate(bands)
 
 
@@ -365,6 +388,7 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = persist_intermediate(_shingles(_docs(spark, sf_dir)))
     bands = _xxhash_bands(sh)
     arriving = bands.filter(F.col("doc_id") % INCREMENT_MOD == 0)
+    swap = F.col("a.doc_id") > F.col("b.doc_id")
     cand = (
         arriving.alias("a")
         .join(bands.alias("b"), ["band_no", "band_key"])
@@ -372,6 +396,8 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(swap, F.col("b.n")).otherwise(F.col("a.n")).alias("na"),
+            F.when(swap, F.col("a.n")).otherwise(F.col("b.n")).alias("nb"),
         )
         .distinct()
     )

@@ -352,6 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: RecCTC/RecAttn label encoding over the corpus — fully
         # oracled (tail position: locally gated by check_oracles)
         "rec_label_encodings": rec_labels.rec_label_encodings,
+        # round 5: fastText-style hashed-linear classifier score (the
+        # DCLM/FineWeb-Edu model-based filtering stage; deterministic
+        # hash-derived weights stand in for a trained artifact — the
+        # serving plumbing is real and hash-oracled via generated XXH64
+        # SQL). Tail position: locally gated by check_oracles.
+        "model_quality_filter": quality.model_quality_filter,
     }
 
 
@@ -451,4 +457,5 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": pretrain.SEMDEDUP_SQL,
         "boilerplate_line_removal": pretrain.BOILERPLATE_SQL,
         "rec_label_encodings": rec_labels.REC_LABEL_ENCODINGS_SQL,
+        "model_quality_filter": quality.MODEL_QUALITY_SQL,
     }

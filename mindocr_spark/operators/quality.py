@@ -673,3 +673,88 @@ SELECT doc_id, max(n_tokens)::BIGINT AS n_tokens,
        ((10000 * count(DISTINCT tokpos)) // max(n_tokens))::BIGINT AS coverage_bp
 FROM cov GROUP BY doc_id
 """
+
+
+# --- Model-based quality filtering (round 5) ---------------------------------
+# The DCLM/FineWeb-Edu pipeline stage the rule-based filters above don't
+# cover: a LEARNED classifier scoring each document. The model here is a
+# fastText-style hashed linear scorer — tokenize, hash each token into a
+# weight table, average — which is exactly the serving plumbing a real
+# classifier needs (the hashing-trick feature map IS fastText's). The
+# weights are a deterministic function of the token hash (a seeded stand-in
+# for a trained artifact, same honesty contract as the multimodal decoder
+# stubs: the PLUMBING is real and hash-oracled; swap `pmod(xxhash64(tok),
+# 2001) - 1000` for a broadcast weight-table join when a trained model
+# exists). All arithmetic is integer (weights in [-1000, 1000], fixed-point
+# milli threshold), so the oracle is float-free; the DuckDB mirror
+# recomputes Spark's xxhash64 via the generated inline XXH64 SQL.
+
+MODEL_WEIGHT_MOD = 2001  # weights = pmod(hash, 2001) - 1000 ∈ [-1000, 1000]
+MODEL_KEEP_MILLI = 10  # keep iff mean token weight >= 10/1000
+
+
+def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc hashed-linear classifier score + keep flag.
+
+    Plan shape at 100 TB: one compact-table repartition by doc_id before
+    the token explode (the gopher pattern — the groupBy then runs
+    exchange-free), a single map-side-combinable aggregate, zero joins.
+    The threshold compare is integer cross-multiplication: no float mean,
+    no negative floor-division (Spark `div` truncates toward zero while
+    DuckDB `//` floors — signed sums never enter a division)."""
+    docs = _docs(spark, sf_dir)
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(2 * slots, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    w = F.expr(f"pmod(xxhash64(tok), {MODEL_WEIGHT_MOD}) - {MODEL_WEIGHT_MOD // 2}")
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(w).cast("long").alias("score_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "score_fp",
+            (
+                F.lit(1000) * F.col("score_fp")
+                >= F.lit(MODEL_KEEP_MILLI) * F.col("n_toks")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def _model_quality_sql() -> str:
+    from ..functions import xxh64_sql as X
+
+    fold = X.SqlFold("mq")
+    prep = X.prep_cols(fold, "tok", max_words=1)
+    h = X.fold_bytes(fold, prep, str(X.SPARK_SEED))
+    hsig = fold.sign(h)
+    scored = fold.render(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents",
+        keep=[
+            "doc_id",
+            f"((({hsig} % {MODEL_WEIGHT_MOD}) + {MODEL_WEIGHT_MOD})"
+            f" % {MODEL_WEIGHT_MOD} - {MODEL_WEIGHT_MOD // 2} ) AS w",
+        ],
+    )
+    return f"""
+WITH scored AS ({scored}),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_toks, sum(w)::BIGINT AS score_fp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_toks, score_fp,
+       (CASE WHEN 1000 * score_fp >= {MODEL_KEEP_MILLI} * n_toks
+             THEN 1 ELSE 0 END)::INT AS keep
+FROM agg
+"""
+
+
+MODEL_QUALITY_SQL = _model_quality_sql()

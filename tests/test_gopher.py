@@ -97,3 +97,84 @@ def test_duplicate_span_coverage_semantics(spark):
     for d in (1, 2):
         assert rows[d].covered == 5 and rows[d].n_tokens == 10
         assert rows[d].coverage_bp == 5000
+
+
+# --- model_quality_filter (round 5) ------------------------------------------
+
+
+def test_model_weights_match_xxh64_reference(spark):
+    # the hashed weight of each token must equal the Python XXH64
+    # reference (which tests/test_xxh64_sql.py pins to Spark bit-for-bit)
+    from mindocr_spark.functions.xxh64_sql import M64, xxh64_bytes_py
+
+    texts = ["alpha beta", "gamma gamma delta9"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    import pyspark.sql.functions as F
+
+    slots = spark.sparkContext.defaultParallelism
+    got = {
+        r.doc_id: r.asDict()
+        for r in (
+            docs.repartition(2 * slots, "doc_id")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"pmod(xxhash64(tok), {Q.MODEL_WEIGHT_MOD})"
+                        f" - {Q.MODEL_WEIGHT_MOD // 2}"
+                    )
+                ).alias("score_fp")
+            )
+            .collect()
+        )
+    }
+
+    def w(tok):
+        u = xxh64_bytes_py(tok.encode())
+        signed = u - M64 if u >= 1 << 63 else u
+        return signed % Q.MODEL_WEIGHT_MOD - Q.MODEL_WEIGHT_MOD // 2
+
+    for i, t in enumerate(texts):
+        assert got[i]["score_fp"] == sum(w(tok) for tok in t.split(" "))
+
+
+def test_model_quality_filter_corpus(spark):
+    df = Q.model_quality_filter(spark, SF).toPandas()
+    assert len(df) == 500
+    # integer threshold: keep iff 1000*score_fp >= MODEL_KEEP_MILLI*n_toks
+    import numpy as np
+
+    want = (
+        1000 * df.score_fp.to_numpy() >= Q.MODEL_KEEP_MILLI * df.n_toks.to_numpy()
+    ).astype(np.int32)
+    assert (df.keep.to_numpy() == want).all()
+    # a real split, not a constant classifier
+    assert 0 < df.keep.sum() < len(df)
+
+
+def test_model_tokens_inside_generated_sql_domain():
+    # MODEL_QUALITY_SQL is generated at max_words=1 (len <= 15 bytes);
+    # every corpus token must stay inside that domain at every sf
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = con.execute(
+            "SELECT max(strlen(t.tok)) FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+            f"FROM '/root/testdata/{sf}/documents.parquet') t"
+        ).fetchone()[0]
+        assert mx <= 15, f"{sf}: token of {mx} bytes exceeds the 8*1+7 bound"
+
+
+def test_model_quality_plan_shape(spark):
+    # one compact-table repartition, exchange-free aggregate, zero joins
+    plan = (
+        Q.model_quality_filter(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -42,7 +42,12 @@ map-side-combinable aggregate plus windows over the ~|src|x|lang| group
 table; semdedup persists the centroid assignment (InMemoryTableScan x3 —
 the 8-row broadcast NL join under it executes once) and pairs via a
 SortMergeJoin on cell; boilerplate_line_removal is explode -> gram-count
-exchange -> equi-join back -> per-doc reassembly aggregate.
+exchange -> equi-join back -> per-doc reassembly aggregate;
+model_quality_filter is one compact-table repartition + one
+exchange-free aggregate, zero joins. Late round-5 minhash change: the
+verify stage no longer shows the sizes aggregate or its two doc-keyed
+joins — per-doc shingle counts ride the minhash aggregate and reach the
+verify filter attached to each candidate pair.
 """
 
 
@@ -75,6 +80,7 @@ def main() -> None:
         "mixture_weights",
         "semdedup",
         "boilerplate_line_removal",
+        "model_quality_filter",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -358,6 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving plumbing is real and hash-oracled via generated XXH64
         # SQL). Tail position: locally gated by check_oracles.
         "model_quality_filter": quality.model_quality_filter,
+        # round 5: per-training-sequence manifest — the dataloader's view
+        # of sequence_packing (doc spans per fixed-length sample). Tail
+        # position: locally gated by check_oracles.
+        "sequence_manifest": pretrain.sequence_manifest,
     }
 
 
@@ -458,4 +462,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_line_removal": pretrain.BOILERPLATE_SQL,
         "rec_label_encodings": rec_labels.REC_LABEL_ENCODINGS_SQL,
         "model_quality_filter": quality.MODEL_QUALITY_SQL,
+        "sequence_manifest": pretrain.SEQUENCE_MANIFEST_SQL,
     }

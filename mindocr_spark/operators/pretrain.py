@@ -521,3 +521,77 @@ SELECT doc_id,
 FROM tagged
 GROUP BY doc_id
 """
+
+
+# --- Sequence manifest (the dataloader's view) -------------------------------
+
+
+def sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-sequence manifest: which documents land in sequence
+    ``s`` and how many of its SEQ_LEN tokens they fill — the inverse view
+    of :func:`sequence_packing` and the artifact a dataloader actually
+    consumes (doc boundaries inside each fixed-length sample drive
+    attention masking and loss masking).
+
+    Each doc explodes into its [first_seq, last_seq] range (bounded:
+    a doc spans ceil(n_tokens / SEQ_LEN) + 1 sequences), and the per-
+    (seq, doc) token overlap is pure interval arithmetic — integer only,
+    so the oracle is exact.  Output is one row per sequence: doc count,
+    first/last doc id, and filled token count (== SEQ_LEN everywhere but
+    the final partial sequence).
+    """
+    packed = sequence_packing(spark, sf_dir)
+    per_seq = packed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.explode(F.expr("sequence(first_seq, last_seq)")).alias("seq_id"),
+    ).select(
+        "seq_id",
+        "doc_id",
+        (
+            F.least(
+                F.col("tok_start") + F.col("n_tokens"),
+                (F.col("seq_id") + 1) * F.lit(SEQ_LEN),
+            )
+            - F.greatest(F.col("tok_start"), F.col("seq_id") * F.lit(SEQ_LEN))
+        ).alias("overlap"),
+    )
+    return (
+        per_seq.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("overlap").cast("long").alias("filled_tokens"),
+        )
+        .select("seq_id", "n_docs", "first_doc", "last_doc", "filled_tokens")
+    )
+
+
+SEQUENCE_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           - n_tokens AS tok_start
+  FROM t
+),
+per_seq AS (
+  SELECT unnest(range(tok_start // {SEQ_LEN},
+                      (tok_start + n_tokens - 1) // {SEQ_LEN} + 1)) AS seq_id,
+         doc_id, n_tokens, tok_start
+  FROM c
+)
+SELECT seq_id::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc,
+       sum(least(tok_start + n_tokens, (seq_id + 1) * {SEQ_LEN})
+           - greatest(tok_start, seq_id * {SEQ_LEN}))::BIGINT AS filled_tokens
+FROM per_seq
+GROUP BY seq_id
+"""

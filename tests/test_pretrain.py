@@ -271,3 +271,30 @@ def test_corpus_prep_job_composition(spark, tmp_path):
     assert (tmp_path / "prep" / "manifest.json").exists()
     assert pd.read_parquet(f"{out}/weights").shape[0] == stats["n_weight_groups"]
     assert corpus.bucket.nunique() == 8
+
+
+# --- Sequence manifest -------------------------------------------------------
+
+
+def test_sequence_manifest_invariants(spark):
+    man = (
+        P.sequence_manifest(spark, SF)
+        .toPandas()
+        .sort_values("seq_id", ignore_index=True)
+    )
+    want = _naive_packing(SF)
+    total = int(want.n_tokens.sum())
+    n_seqs = (total + P.SEQ_LEN - 1) // P.SEQ_LEN
+    # every sequence from 0..n_seqs-1 appears exactly once
+    assert (man.seq_id.to_numpy() == np.arange(n_seqs)).all()
+    # all but the final sequence are exactly full; the last holds the tail
+    assert (man.filled_tokens.to_numpy()[:-1] == P.SEQ_LEN).all()
+    assert man.filled_tokens.iloc[-1] == total - (n_seqs - 1) * P.SEQ_LEN
+    assert man.filled_tokens.sum() == total
+    # doc ranges are contiguous across sequences (packing is in doc order)
+    assert (man.first_doc.to_numpy() <= man.last_doc.to_numpy()).all()
+    assert (man.first_doc.to_numpy()[1:] >= man.last_doc.to_numpy()[:-1] - 0).all()
+    # n_docs matches the doc-id span (doc_ids are dense in this corpus)
+    assert (
+        man.n_docs.to_numpy() == man.last_doc.to_numpy() - man.first_doc.to_numpy() + 1
+    ).all()

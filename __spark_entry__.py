@@ -362,6 +362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of sequence_packing (doc spans per fixed-length sample). Tail
         # position: locally gated by check_oracles.
         "sequence_manifest": pretrain.sequence_manifest,
+        # round 5: the epoch draw applying mixture_weights — per-group
+        # hash-rate selection (broadcast weights, stateless filter; the
+        # scalable alternative to per-group global windows). Tail
+        # position: locally gated by check_oracles.
+        "epoch_sample": pretrain.epoch_sample,
     }
 
 
@@ -463,4 +468,5 @@ def oracle_sql() -> dict[str, str]:
         "rec_label_encodings": rec_labels.REC_LABEL_ENCODINGS_SQL,
         "model_quality_filter": quality.MODEL_QUALITY_SQL,
         "sequence_manifest": pretrain.SEQUENCE_MANIFEST_SQL,
+        "epoch_sample": pretrain.EPOCH_SAMPLE_SQL,
     }

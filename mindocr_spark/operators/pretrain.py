@@ -595,3 +595,80 @@ SELECT seq_id::BIGINT AS seq_id,
 FROM per_seq
 GROUP BY seq_id
 """
+
+
+# --- Epoch sampling (applying the mixture) -----------------------------------
+
+EPOCH_TOKEN_BUDGET = 50_000  # tokens drawn per epoch at the bench scale
+
+
+def epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw one epoch's documents according to :func:`mixture_weights`.
+
+    Each (source, lang) group gets a token target ``budget * weight_bp /
+    10000``; membership is decided by a per-group HASH RATE — keep doc
+    iff ``pmod(xxhash64(doc_id), 1000) < frac_milli`` where
+    ``frac_milli = min(1000, 1000 * target // grp_tokens)`` — rather than
+    an exact per-group running-sum cut.  The rate form is the 100 TB
+    design: the weights table is tiny and broadcast, the draw is a
+    stateless per-row filter (no per-group global sort/window, which
+    would put 10^10 docs of one group on one partition), the selection is
+    deterministic and repeatable across runs/engines, and realized tokens
+    concentrate tightly around the target (binomial).  Different epochs
+    use different hash seeds; this query pins epoch 0 (seed 42 = Spark's
+    default) under the oracle.
+
+    Output: the drawn documents with their group and the group's
+    ``frac_milli`` — realized-vs-target accounting is one aggregate away.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = mixture_weights(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.expr(
+            f"least(1000, (1000 * (({EPOCH_TOKEN_BUDGET} * weight_bp) div 10000))"
+            f" div grp_tokens)"
+        ).alias("frac_milli"),
+    )
+    return (
+        docs.join(F.broadcast(w), ["source", "lang"])
+        .filter(F.expr("pmod(xxhash64(doc_id), 1000)") < F.col("frac_milli"))
+        .select("doc_id", "source", "lang", "n_tokens", "frac_milli")
+    )
+
+
+def _epoch_sample_sql() -> str:
+    from ..functions import xxh64_sql as X
+
+    fold = X.SqlFold("ep")
+    h = X.fold_long(fold, fold.unsign("doc_id"), X.SPARK_SEED)
+    hs = fold.sign(h)
+    hashed = fold.render(
+        "SELECT doc_id, source, lang, len(string_split(text, ' '))::BIGINT AS n_tokens"
+        " FROM documents",
+        keep=[
+            "doc_id", "source", "lang", "n_tokens",
+            f"(({hs} % 1000) + 1000) % 1000 AS hmod",
+        ],
+    )
+    return f"""
+WITH weights AS ({MIXTURE_WEIGHTS_SQL.strip()}),
+fr AS (
+  SELECT source, lang,
+         least(1000, (1000 * (({EPOCH_TOKEN_BUDGET} * weight_bp) // 10000))
+               // grp_tokens)::BIGINT AS frac_milli
+  FROM weights
+),
+hashed AS ({hashed})
+SELECT h.doc_id, h.source, h.lang, h.n_tokens, f.frac_milli
+FROM hashed h JOIN fr f ON f.source = h.source AND f.lang = h.lang
+WHERE h.hmod < f.frac_milli
+"""
+
+
+EPOCH_SAMPLE_SQL = _epoch_sample_sql()

@@ -298,3 +298,40 @@ def test_sequence_manifest_invariants(spark):
     assert (
         man.n_docs.to_numpy() == man.last_doc.to_numpy() - man.first_doc.to_numpy() + 1
     ).all()
+
+
+# --- Epoch sampling ----------------------------------------------------------
+
+
+def test_epoch_sample_applies_mixture(spark):
+    drawn = P.epoch_sample(spark, "/root/testdata/sf0.1").toPandas()
+    w = P.mixture_weights(spark, "/root/testdata/sf0.1").toPandas()
+    # frac_milli matches the formula from the weights table, per group
+    w["frac"] = np.minimum(
+        1000,
+        (1000 * ((P.EPOCH_TOKEN_BUDGET * w.weight_bp) // 10000)) // w.grp_tokens,
+    )
+    merged = drawn.merge(w[["source", "lang", "frac"]], on=["source", "lang"])
+    assert (merged.frac_milli == merged.frac).all()
+    # realized epoch tokens concentrate near the budget (sf0.1 corpus is
+    # ~6x the budget so no group caps at 1000)
+    tok = drawn.n_tokens.sum()
+    assert abs(tok - P.EPOCH_TOKEN_BUDGET) < 0.10 * P.EPOCH_TOKEN_BUDGET
+    # membership is the deterministic hash rule
+    import pyspark.sql.functions as F
+
+    h = (
+        spark.createDataFrame(drawn[["doc_id"]])
+        .select("doc_id", F.expr("pmod(xxhash64(doc_id), 1000)").alias("hmod"))
+        .toPandas()
+    )
+    m = drawn.merge(h, on="doc_id")
+    assert (m.hmod < m.frac_milli).all()
+
+
+def test_epoch_sample_caps_when_budget_exceeds_corpus(spark):
+    # sf0.001 holds ~27k tokens < 50k budget: every group caps at 1000
+    # and the whole corpus is drawn
+    drawn = P.epoch_sample(spark, SF).toPandas()
+    assert len(drawn) == 500
+    assert (drawn.frac_milli == 1000).all()

@@ -44,22 +44,54 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--run-id", default="run")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("mindocr_spark_corpus_prep").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
-    stats = run_corpus_prep(spark, args.sf_dir, args.out_dir, args.n_buckets)
+    stats = run_corpus_prep(
+        spark, args.sf_dir, args.out_dir, args.n_buckets, run_id=args.run_id
+    )
     print(json.dumps(stats))
     spark.stop()
 
 
-def run_corpus_prep(spark, sf_dir: str, out_dir: str, n_buckets: int = 64) -> dict:
+PREP_LINEAGE_SCHEMA = (
+    "bucket int, status string, n_docs long, n_tokens long, "
+    "wall_sec double, run_id string"
+)
+
+
+def run_corpus_prep(
+    spark, sf_dir: str, out_dir: str, n_buckets: int = 64, run_id: str = "run"
+) -> dict:
+    """Run (or exactly resume) the bucketed corpus-prep job.
+
+    Resume protocol = plans/lineage.py's: doc_id hash buckets, dynamic
+    partition overwrite, a per-bucket lineage table appended only after
+    the partition commit, completed buckets anti-joined away on restart.
+    The cross-document signals (near-dup clusters, boilerplate line
+    frequencies, packing offsets) are GLOBAL: they are deterministically
+    recomputed over the full corpus on resume — only the final per-bucket
+    materialization and write are skipped (at production scale those
+    signals live as stored tables maintained incrementally, the
+    minhash_lsh_incremental pattern; the recomputation here keeps the
+    job stateless-in, exact-out). Correctness of the resume filter
+    placement (the bucket predicate must not push beneath the line-
+    frequency aggregate or the packing windows — Catalyst only pushes
+    predicates through aggregates/windows on their own keys, and the
+    hash bucket is neither) is pinned by
+    tests/test_pretrain.py::test_corpus_prep_resume_is_exact.
+    """
+    import time as _time
+
     from pyspark.sql import functions as F
+
+    from mindocr_spark.plans.lineage import completed_buckets
 
     from mindocr_spark.operators.pretrain import (
         boilerplate_clean,
@@ -117,17 +149,45 @@ def run_corpus_prep(spark, sf_dir: str, out_dir: str, n_buckets: int = 64) -> di
             "n_tokens", "tok_start", "first_seq", "last_seq",
         )
     )
-    # bucket column = pmod(hash(doc_id)) — the repo's stand-in for Iceberg
-    # bucket transforms (CLAUDE.md): downstream equi-joins and resumes
-    # prune/co-partition on it, same as plans/lineage.py's extract output
+    # bucket column = pmod(xxhash64(doc_id)) — the repo's stand-in for
+    # Iceberg bucket transforms (CLAUDE.md): downstream equi-joins and
+    # resumes prune/co-partition on it, same as plans/lineage.py's
+    # extract output (and the same bucket function, so the two jobs'
+    # outputs are co-bucketed)
     corpus_path = os.path.join(out_dir, "corpus")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = set(completed_buckets(spark, corpus_path))
+    final = final.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    )
+    todo = final.filter(~F.col("bucket").isin(sorted(done))) if done else final
+    t0 = _time.time()
     (
-        final.withColumn("bucket", F.expr(f"pmod(hash(doc_id), {n_buckets})"))
-        .repartition(n_buckets, "bucket")
+        todo.repartition(n_buckets, "bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(corpus_path)
     )
+    wall = _time.time() - t0
+    out_now = spark.read.parquet(corpus_path)
+    fresh = (
+        out_now.filter(~F.col("bucket").isin(sorted(done))) if done else out_now
+    )
+    stat_rows = (
+        fresh.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn("status", F.lit("complete"))
+        .withColumn("wall_sec", F.lit(float(wall)))
+        .withColumn("run_id", F.lit(run_id))
+        .select("bucket", "status", "n_docs", "n_tokens", "wall_sec", "run_id")
+        .collect()
+    )
+    spark.createDataFrame(stat_rows, PREP_LINEAGE_SCHEMA).write.mode(
+        "append"
+    ).parquet(f"{corpus_path}/_lineage")
 
     # 6. sampling weights over the ORIGINAL corpus composition (the
     # mixture decision is made on what exists, not on what survived)
@@ -150,6 +210,9 @@ def run_corpus_prep(spark, sf_dir: str, out_dir: str, n_buckets: int = 64) -> di
         "total_tokens": agg["tok"],
         "n_sequences": (agg["end"] + SEQ_LEN - 1) // SEQ_LEN if agg["end"] else 0,
         "n_weight_groups": weights.count(),
+        "buckets_total": n_buckets,
+        "buckets_skipped": len(done),
+        "buckets_processed": len(stat_rows),
         "out_dir": out_dir,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

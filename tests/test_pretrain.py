@@ -335,3 +335,41 @@ def test_epoch_sample_caps_when_budget_exceeds_corpus(spark):
     drawn = P.epoch_sample(spark, SF).toPandas()
     assert len(drawn) == 500
     assert (drawn.frac_milli == 1000).all()
+
+
+def test_corpus_prep_resume_is_exact(spark, tmp_path):
+    # run fully; then delete half the bucket partitions AND their lineage
+    # rows (simulated crash) and resume — the rewritten output must be
+    # byte-identical to the fresh run (pins the resume bucket filter
+    # against Catalyst pushing it beneath the line-frequency aggregate or
+    # the packing windows, which would corrupt the global signals)
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus_prep_job import run_corpus_prep
+
+    out = str(tmp_path / "prep")
+    run_corpus_prep(spark, SF, out, n_buckets=8, run_id="r1")
+    full = (
+        pd.read_parquet(f"{out}/corpus")
+        .drop(columns=["bucket"])
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # crash simulation: drop buckets 0-3's partitions + all lineage, then
+    # re-append lineage only for the surviving buckets 4-7
+    lin = pd.read_parquet(f"{out}/corpus/_lineage")
+    shutil.rmtree(f"{out}/corpus/_lineage")
+    for b in range(4):
+        shutil.rmtree(f"{out}/corpus/bucket={b}")
+    spark.createDataFrame(lin[lin.bucket >= 4]).write.mode("overwrite").parquet(
+        f"{out}/corpus/_lineage"
+    )
+    stats = run_corpus_prep(spark, SF, out, n_buckets=8, run_id="r2")
+    assert stats["buckets_skipped"] == 4 and stats["buckets_processed"] == 4
+    resumed = (
+        pd.read_parquet(f"{out}/corpus")
+        .drop(columns=["bucket"])
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(resumed, full)

@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalable alternative to per-group global windows). Tail
         # position: locally gated by check_oracles.
         "epoch_sample": pretrain.epoch_sample,
+        # round 5: within-document repeated-line removal over a derived
+        # stuttered page (CCNet-style; the cross-document complement is
+        # boilerplate_line_removal). Tail: locally gated.
+        "intra_doc_dedup": pretrain.intra_doc_dedup,
     }
 
 
@@ -469,4 +473,5 @@ def oracle_sql() -> dict[str, str]:
         "model_quality_filter": quality.MODEL_QUALITY_SQL,
         "sequence_manifest": pretrain.SEQUENCE_MANIFEST_SQL,
         "epoch_sample": pretrain.EPOCH_SAMPLE_SQL,
+        "intra_doc_dedup": pretrain.INTRA_DOC_DEDUP_SQL,
     }

@@ -181,7 +181,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_token_layout(d: DataFrame) -> DataFrame:
     """Composable core of :func:`sequence_packing` over a
     ``(doc_id, n_tokens)`` frame (jobs/corpus_prep_job.py packs the
-    CLEANED, FILTERED corpus through this).
+    CLEANED, FILTERED corpus through this).  Callers must drop
+    zero-token docs first: ``last_seq = (start + n - 1) div SEQ_LEN``
+    is meaningless at n=0 (and Spark's truncating ``div`` vs DuckDB's
+    flooring ``//`` disagree on the negative numerator) — the registered
+    query's ``split()`` always yields >= 1 token and the prep job
+    filters empty documents.
 
     The global prefix sum is NOT a single-partition window: docs fold
     into ``doc_id div PACK_BUCKET_DOCS`` buckets, the within-bucket
@@ -672,3 +677,96 @@ WHERE h.hmod < f.frac_milli
 
 
 EPOCH_SAMPLE_SQL = _epoch_sample_sql()
+
+
+# --- Intra-document dedup ----------------------------------------------------
+
+
+def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style within-document repetition removal: using the same
+    fixed 8-word line segmentation as :func:`boilerplate_line_removal`,
+    keep only the FIRST occurrence of each line text inside a document
+    and re-assemble in order (the complement of the cross-document strip:
+    that drops corpus-wide boilerplate, this drops a page's self-repeats
+    — headers repeated per section, scraper stutter).
+
+    The corpus has no self-repeats, so the query derives a deterministic
+    "stuttered page" (the pii_redaction pattern): every third doc gets
+    its own first 8 words prepended, which reproduces line 1 exactly and
+    puts the REMOVAL path — not just the no-op path — under the oracle.
+
+    Plan shape: one compact-table repartition by doc_id, then the
+    first-occurrence window runs exchange-free (HashPartitioning(doc_id)
+    satisfies the (doc_id, line) clustering — the gopher trick), and the
+    reassembly groupBy is likewise co-partitioned.  One shuffle total at
+    any scale; no joins.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "case when doc_id % 3 = 0 then "
+            "concat(array_join(slice(split(text, ' '), 1, 8), ' '), ' ', text) "
+            "else text end"
+        ).alias("text"),
+    )
+    slots = d.sparkSession.sparkContext.defaultParallelism
+    lines = d.repartition(2 * slots, "doc_id").select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_WORDS}.0) as int)), "
+                f"i -> array_join(slice(split(text, ' '), (i - 1) * {LINE_WORDS} + 1, {LINE_WORDS}), ' '))"
+            )
+        ).alias("idx", "line"),
+    )
+    w = Window.partitionBy("doc_id", "line").orderBy("idx")
+    tagged = lines.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("is_dup").cast("long").alias("n_intra_removed"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(if(is_dup = 0, struct(idx, line), null))), "
+                        "s -> s.line)"
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_fp"),
+        )
+        .select("doc_id", "n_lines", "n_intra_removed", "cleaned_fp")
+    )
+
+
+INTRA_DOC_DEDUP_SQL = f"""
+WITH stuttered AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           concat(array_to_string(string_split(text, ' ')[1:8], ' '), ' ', text)
+         ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(string_split(text, ' ')
+             [(i - 1) * {LINE_WORDS} + 1 : i * {LINE_WORDS}], ' ') AS line
+  FROM stuttered,
+       unnest(range(1, ceil(len(string_split(text, ' ')) / {LINE_WORDS}.0)::INT + 1)) AS u(i)
+),
+tagged AS (
+  SELECT doc_id, idx, line,
+         (CASE WHEN row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) > 1
+               THEN 1 ELSE 0 END) AS is_dup
+  FROM lines
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(is_dup)::BIGINT AS n_intra_removed,
+       md5(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE is_dup = 0)) AS cleaned_fp
+FROM tagged
+GROUP BY doc_id
+"""

@@ -373,3 +373,68 @@ def test_corpus_prep_resume_is_exact(spark, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(resumed, full)
+
+
+# --- Intra-document dedup ----------------------------------------------------
+
+
+def test_intra_doc_dedup_stutter_removed(spark):
+    df = P.intra_doc_dedup(spark, SF).toPandas().set_index("doc_id").sort_index()
+    # every stuttered doc (doc_id%3==0, first 8 words prepended) loses
+    # exactly its reproduced first line; others are untouched
+    stuttered = df[df.index % 3 == 0]
+    clean = df[df.index % 3 != 0]
+    assert (stuttered.n_intra_removed == 1).all()
+    assert (clean.n_intra_removed == 0).all()
+
+
+def test_intra_doc_dedup_hand_case(spark, tmp_path):
+    L = " ".join(["h"] * P.LINE_WORDS)
+    M = " ".join([f"m{i}" for i in range(P.LINE_WORDS)])
+    # doc 1 (not %3==0, no derivation): L M L -> second L removed
+    texts = ["x", L + " " + M + " " + L]
+    out = {
+        r.doc_id: r.asDict()
+        for r in P.intra_doc_dedup(spark, _write_docs(tmp_path, texts)).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_intra_removed"] == 1
+    assert out[1]["cleaned_fp"] == hashlib.md5((L + " " + M).encode()).hexdigest()
+
+
+# --- Packing property test ---------------------------------------------------
+
+
+def test_pack_token_layout_property(spark):
+    # random token-count tables across bucket sizes: the two-phase
+    # distributed prefix sum must equal the naive cumsum exactly
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=80),
+        bucket=st.sampled_from([1, 3, 16, 1024]),
+    )
+    def inner(counts, bucket):
+        import pyspark.sql.functions as F
+
+        old = P.PACK_BUCKET_DOCS
+        P.PACK_BUCKET_DOCS = bucket
+        try:
+            d = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tokens long"
+            )
+            got = (
+                P.pack_token_layout(d)
+                .toPandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+        finally:
+            P.PACK_BUCKET_DOCS = old
+        import numpy as np
+
+        cum = np.cumsum(counts)
+        starts = cum - np.array(counts)
+        assert (got.tok_start.to_numpy() == starts).all()
+        assert (got.first_seq.to_numpy() == starts // P.SEQ_LEN).all()
+
+    inner()

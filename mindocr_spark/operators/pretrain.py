@@ -469,7 +469,8 @@ def boilerplate_clean(d: DataFrame) -> DataFrame:
     ``(doc_id, n_lines, n_removed, cleaned_text)`` — the actual cleaned
     text, which jobs/corpus_prep_job.py carries forward into packing; the
     registered query fingerprints it with md5 instead of shipping it."""
-    d = d.repartition(64, "doc_id")
+    slots = d.sparkSession.sparkContext.defaultParallelism
+    d = d.repartition(2 * slots, "doc_id")
     lines = d.select(
         "doc_id",
         F.posexplode(

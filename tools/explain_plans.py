@@ -81,6 +81,9 @@ def main() -> None:
         "semdedup",
         "boilerplate_line_removal",
         "model_quality_filter",
+        "sequence_manifest",
+        "epoch_sample",
+        "intra_doc_dedup",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -438,3 +438,52 @@ def test_pack_token_layout_property(spark):
         assert (got.first_seq.to_numpy() == starts // P.SEQ_LEN).all()
 
     inner()
+
+
+def test_pii_regex_cross_engine_fuzz(spark):
+    # the three PII patterns must count and rewrite IDENTICALLY on Java
+    # regex (Spark) and RE2 (DuckDB) — a divergence here is a silent
+    # driver hash-fail. 200 seeded random token soups mixing valid hits,
+    # near-misses and plain words.
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    frags = [
+        "a@b.co", "x.y+z@mail-h.org", "user9@ex.example.com", "a@b", "@x.co",
+        "1.2.3.4", "10.0.255.3", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "+1 555-1234", "+44 202-7946", "+123 555-1234", "+9 123-45678",
+        "word", "a.b", "w.w.w", "dot.", "x-y", "5", "a@@b.co", "..",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, raw string"
+    )
+    got = (
+        P.redact_pii(sdf)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("raw_tbl", __import__("pandas").DataFrame({"doc_id": range(len(texts)), "raw": texts}))
+    want = con.execute(
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '{P.PII_EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(raw, '{P.PII_IPV4_RE}'))::BIGINT AS n_ips,
+               len(regexp_extract_all(raw, '{P.PII_PHONE_RE}'))::BIGINT AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                   '{P.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{P.PII_IPV4_RE}', '<IP>', 'g'),
+                   '{P.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM raw_tbl ORDER BY doc_id
+        """
+    ).fetchdf()
+    for col in ["n_emails", "n_ips", "n_phones"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    assert got.redacted.tolist() == want.redacted.tolist()

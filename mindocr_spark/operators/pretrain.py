@@ -47,7 +47,6 @@ from .similarity import (
     _L2_DUCK,
     _emb,
     _with_norm,
-    N_IVF_CENTROIDS,
     NEAR_DUP_COS,
 )
 
@@ -319,28 +318,55 @@ FROM n
 # --- SemDeDup ----------------------------------------------------------------
 
 
+SEMDEDUP_TARGET_CELL = 64  # expected embeddings per cell
+SEMDEDUP_MIN_CELLS = 4
+SEMDEDUP_MAX_CELLS = 1 << 20  # paper scale: ~50k clusters on LAION
+
+
+def _derived_cells(n: int) -> int:
+    """clamp(ceil(n / TARGET_CELL), MIN, MAX) in pure integer arithmetic
+    (matching the SQL's ``(count(*) + 63) // 64`` bit-for-bit — no
+    float ceil/log anywhere, so the two engines cannot disagree)."""
+    raw = (n + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL
+    return min(SEMDEDUP_MAX_CELLS, max(SEMDEDUP_MIN_CELLS, raw))
+
+
+_DERIVED_CELLS_DUCK = (
+    "(SELECT least({mx}, greatest({mn}, (count(*) + {t} - 1) // {t}))"
+    " FROM embeddings)"
+).format(mx=SEMDEDUP_MAX_CELLS, mn=SEMDEDUP_MIN_CELLS, t=SEMDEDUP_TARGET_CELL)
+
+
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-scoped
-    cosine.  Embeddings are assigned to the deterministic IVF centroids
-    (first ``N_IVF_CENTROIDS`` vectors, L2, ties to the lower id — the
-    exact assignment ``similarity.ivf_topk`` is already hash-certified
+    cosine.  Embeddings are assigned to deterministic IVF-style
+    centroids (the first k vectors, L2, ties to the lower id — the
+    assignment rule ``similarity.ivf_topk`` is already hash-certified
     on), then pairs are compared ONLY inside a cell; a vector is dropped
     when a lower-id vector in its cell has cosine >= NEAR_DUP_COS, and
     ``dup_of`` records the smallest such keeper-side id.
 
-    Per-cell pairwise cost is bounded by cell size — at scale the
-    centroid count grows with N (the paper runs 50k clusters on LAION),
-    so cells stay ~constant and the join is a plain equi-join on ``cell``
-    with bounded fan-out, never a corpus×corpus product.
+    The cell count is DERIVED from corpus size (round-5, the round-3
+    scale-aware-LSH pattern): k = clamp(ceil(N / 64), 4, 2^20), so
+    expected cell occupancy stays ~SEMDEDUP_TARGET_CELL and the per-cell
+    pairwise cost is bounded by a constant as N grows (the paper scales
+    cluster count the same way — ~50k on LAION).  The identical integer
+    formula runs inside the oracle SQL from ``count(*)``, so both
+    engines agree on the layout at any sf.  At k beyond broadcast size
+    the centroid table becomes a bucketed join side; documented, not hit
+    at bench scale.
     """
     return semdedup_flags(_with_norm(_emb(spark, sf_dir)))
 
 
-def semdedup_flags(emb: DataFrame) -> DataFrame:
+def semdedup_flags(emb: DataFrame, n_cells: int | None = None) -> DataFrame:
     """Composable core of :func:`semdedup` over a ``(vec_id, embedding,
     norm)`` frame (jobs/corpus_prep_job.py feeds it the corpus
-    embeddings directly)."""
-    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+    embeddings directly).  ``n_cells`` defaults to the corpus-derived
+    count (one count() action, the scale-aware-LSH precedent)."""
+    if n_cells is None:
+        n_cells = _derived_cells(emb.count())
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
     dists = emb.crossJoin(F.broadcast(cents)).withColumn(
@@ -406,7 +432,8 @@ WITH e AS (
          sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < {N_IVF_CENTROIDS}),
+cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e
+          WHERE vec_id < {_DERIVED_CELLS_DUCK}),
 dists AS (
   SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
          round({_L2_DUCK.format(a='e.embedding', b='c.ce')}, 4) AS dist

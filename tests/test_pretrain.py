@@ -142,7 +142,7 @@ def test_semdedup_matches_numpy_recompute(spark):
     )
     X = np.array(emb.embedding.tolist(), dtype=np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
-    cents = X[: P.N_IVF_CENTROIDS]
+    cents = X[: P._derived_cells(len(X))]
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).round(4)
     cell = d2.argmin(axis=1)  # argmin takes lowest index on ties
     assert (got.cell.to_numpy() == cell).all()

@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (set-op evidence, exact-pytest + local gate), ``hourly_event_stats``
       / ``type_medians`` (time-agg and percentile evidence duplicated by
       ``sessionize_events`` / ``event_value_quartiles``).
+    - late round-5 additions, all FULLY hash-oracled but landed after the
+      window filled: ``rec_label_encodings``, ``model_quality_filter``,
+      ``sequence_manifest``, ``epoch_sample``, ``intra_doc_dedup`` —
+      locally gated by tools/check_oracles.py at sf0.01 AND sf0.1.
     """
     from mindocr_spark.operators import (
         dedup,

@@ -550,7 +550,11 @@ tagged AS (
 SELECT doc_id,
        count(*)::BIGINT AS n_lines,
        sum(is_bp)::BIGINT AS n_removed,
-       md5(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE is_bp = 0)) AS cleaned_fp
+       -- coalesce: a doc whose EVERY line is boilerplate must fingerprint
+       -- the empty string (Spark's array_join over an empty array), not
+       -- NULL (DuckDB's filtered string_agg over zero rows) — hit at
+       -- sf0.1, masked at sf0.01 where no doc is fully boilerplate
+       md5(coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE is_bp = 0), '')) AS cleaned_fp
 FROM tagged
 GROUP BY doc_id
 """
@@ -794,7 +798,10 @@ tagged AS (
 SELECT doc_id,
        count(*)::BIGINT AS n_lines,
        sum(is_dup)::BIGINT AS n_intra_removed,
-       md5(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE is_dup = 0)) AS cleaned_fp
+       -- coalesce for the same NULL-vs-'' hazard as BOILERPLATE_SQL
+       -- (unreachable here — a doc's first line is never a dup — but the
+       -- semantics should not depend on that invariant)
+       md5(coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE is_dup = 0), '')) AS cleaned_fp
 FROM tagged
 GROUP BY doc_id
 """

@@ -375,6 +375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stuttered page (CCNet-style; the cross-document complement is
         # boilerplate_line_removal). Tail: locally gated.
         "intra_doc_dedup": pretrain.intra_doc_dedup,
+        # round 5: int8 scalar quantization of the embedding corpus (the
+        # ANN memory path; driver-baked per-dim stats, stateless code
+        # pass, bit-identical codes both engines). Tail: locally gated.
+        "embedding_quantize": similarity.embedding_quantize,
     }
 
 
@@ -478,4 +482,5 @@ def oracle_sql() -> dict[str, str]:
         "sequence_manifest": pretrain.SEQUENCE_MANIFEST_SQL,
         "epoch_sample": pretrain.EPOCH_SAMPLE_SQL,
         "intra_doc_dedup": pretrain.INTRA_DOC_DEDUP_SQL,
+        "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
     }

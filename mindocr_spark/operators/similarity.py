@@ -613,3 +613,85 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round({_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) >= {NEAR_DUP_COS}
 """
+
+
+# --- Scalar quantization (round 5) -------------------------------------------
+# The memory side of similarity search at 10^12 rows: 64 float32 dims
+# (256 B) -> 64 uint8 codes (64 B), the standard int8 scalar quantization
+# every large ANN deployment applies before/alongside IVF. Codes are
+# floor((x - min_d) / ((max_d - min_d) / 255)) clamped to [0, 255] with
+# per-dimension corpus min/max — every step is an IEEE operation on
+# identical doubles (min/max pick values, never accumulate; one division;
+# floor), so Spark and DuckDB produce bit-identical codes and the query
+# is fully hash-oracled (code fingerprint + integer checksum).
+
+EMB_DIM = 64
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 code fingerprint + integer checksums.
+
+    Plan shape: one map-side-combinable per-dim min/max aggregate (64
+    groups) whose result is DRIVER-BAKED into the quantize expression
+    (the LSH sign-mask pattern — broadcast-equivalent, and keeps the
+    quantize pass a pure stateless map with zero joins); at 10^12 rows
+    the stats pass is one scan and the code pass streams.
+    """
+    emb = _emb(spark, sf_dir)
+    stats = {
+        int(r["d"]): (float(r["mn"]), float(r["mx"]))
+        for r in emb.select(
+            F.posexplode("embedding").alias("d", "x")
+        )
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    }
+    mins = ", ".join(repr(stats[d][0]) + "D" for d in range(EMB_DIM))
+    maxs = ", ".join(repr(stats[d][1]) + "D" for d in range(EMB_DIM))
+    codes = (
+        f"transform(embedding, (x, i) -> "
+        f"case when element_at(array({maxs}), i + 1) > element_at(array({mins}), i + 1) then "
+        f"cast(least(255L, greatest(0L, cast(floor((cast(x as double) - element_at(array({mins}), i + 1)) "
+        f"/ ((element_at(array({maxs}), i + 1) - element_at(array({mins}), i + 1)) / 255)) as bigint))) as int) "
+        f"else 0 end)"
+    )
+    return emb.select(
+        "vec_id",
+        F.md5(
+            F.expr(f"array_join(transform({codes}, c -> cast(c as string)), ',')")
+        ).alias("qcode_fp"),
+        F.expr(f"aggregate({codes}, 0L, (a, c) -> a + c)").alias("q_sum"),
+        F.expr(f"array_min({codes})").alias("q_min"),
+        F.expr(f"array_max({codes})").alias("q_max"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH stats AS (
+  SELECT i AS d,
+         min(cast(embedding[i] as double)) AS mn,
+         max(cast(embedding[i] as double)) AS mx
+  FROM embeddings, unnest(range(1, {EMB_DIM} + 1)) AS u(i)
+  GROUP BY i
+),
+codes AS (
+  SELECT e.vec_id, u.i,
+         (CASE WHEN s.mx > s.mn THEN
+            least(255, greatest(0,
+              floor((cast(e.embedding[u.i] as double) - s.mn) / ((s.mx - s.mn) / 255))))
+          ELSE 0 END)::INT AS q
+  FROM embeddings e, unnest(range(1, {EMB_DIM} + 1)) AS u(i)
+  JOIN stats s ON s.d = u.i
+)
+SELECT vec_id,
+       md5(string_agg(q::VARCHAR, ',' ORDER BY i)) AS qcode_fp,
+       sum(q)::BIGINT AS q_sum,
+       min(q)::INT AS q_min,
+       max(q)::INT AS q_max
+FROM codes
+GROUP BY vec_id
+"""

@@ -487,3 +487,34 @@ def test_pii_regex_cross_engine_fuzz(spark):
     for col in ["n_emails", "n_ips", "n_phones"]:
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
     assert got.redacted.tolist() == want.redacted.tolist()
+
+
+# --- Embedding quantization --------------------------------------------------
+
+
+def test_embedding_quantize_matches_numpy(spark):
+    from mindocr_spark.operators import similarity as S
+
+    got = (
+        S.embedding_quantize(spark, SF).toPandas().sort_values("vec_id", ignore_index=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    q = np.clip(np.floor((X - mn) / scale), 0, 255).astype(np.int64)
+    q[:, mx <= mn] = 0
+    assert (got.q_sum.to_numpy() == q.sum(axis=1)).all()
+    assert (got.q_min.to_numpy() == q.min(axis=1)).all()
+    assert (got.q_max.to_numpy() == q.max(axis=1)).all()
+    import hashlib
+
+    fps = [
+        hashlib.md5(",".join(str(int(v)) for v in row).encode()).hexdigest()
+        for row in q
+    ]
+    assert got.qcode_fp.tolist() == fps
+    # quantization uses the full code range on this corpus
+    assert got.q_max.max() == 255 and got.q_min.min() == 0

@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN memory path; driver-baked per-dim stats, stateless code
         # pass, bit-identical codes both engines). Tail: locally gated.
         "embedding_quantize": similarity.embedding_quantize,
+        # round 5: top-k over the int8 codes (symmetric integer code-dot
+        # — the SQ-ANN serving kernel; exact by construction, no float
+        # rounding contract at all). Tail: locally gated.
+        "ann_quantized_topk": similarity.ann_quantized_topk,
     }
 
 
@@ -483,4 +487,5 @@ def oracle_sql() -> dict[str, str]:
         "epoch_sample": pretrain.EPOCH_SAMPLE_SQL,
         "intra_doc_dedup": pretrain.INTRA_DOC_DEDUP_SQL,
         "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
+        "ann_quantized_topk": similarity.ANN_QUANTIZED_SQL,
     }

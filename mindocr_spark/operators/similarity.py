@@ -695,3 +695,121 @@ SELECT vec_id,
 FROM codes
 GROUP BY vec_id
 """
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the int8-quantized NORMALIZED corpus via
+    symmetric DEQUANTIZED dot (the SQ serving kernel).  Vectors are
+    L2-normalized, scalar-quantized per dimension, and ranked by the
+    inner product of their RECONSTRUCTIONS ``mn_d + (q + 0.5) * sc_d``
+    — plain code·code ranking was measured at 0/20 cosine-top-1 recall
+    on this corpus (the per-dim affine offsets distort the inner
+    product; normalizing alone does not fix it), while the dequantized
+    dot differs from true cosine only by quantization error.  Queries
+    are the first N_QUERIES vectors; ranking is recon-dot rounded to
+    4dp (the cosine_topk engine contract: index-order IEEE fold,
+    identical on both engines) DESC, neighbor-id tie-break, k = TOP_K.
+
+    Plan: quantize + dequantize are stateless maps (driver-baked
+    stats); the query set is broadcast and the corpus streams (same
+    shape as cosine_topk); at scale the bucketed LSH/IVF variants
+    prefilter and this kernel runs per bucket over the 64 B codes
+    instead of the 256 B floats.
+    """
+    emb = _with_norm(_emb(spark, sf_dir)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) / norm)"
+        ).alias("ne"),
+    )
+    stats = {
+        int(r["d"]): (float(r["mn"]), float(r["mx"]))
+        for r in emb.select(F.posexplode("ne").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    mins = ", ".join(repr(stats[d][0]) + "D" for d in range(EMB_DIM))
+    maxs = ", ".join(repr(stats[d][1]) + "D" for d in range(EMB_DIM))
+    codes_expr = (
+        f"transform(ne, (x, i) -> "
+        f"case when element_at(array({maxs}), i + 1) > element_at(array({mins}), i + 1) then "
+        f"cast(least(255L, greatest(0L, cast(floor((x - element_at(array({mins}), i + 1)) "
+        f"/ ((element_at(array({maxs}), i + 1) - element_at(array({mins}), i + 1)) / 255)) as bigint))) as int) "
+        f"else 0 end)"
+    )
+    recon_expr = (
+        f"transform(codes, (c, i) -> element_at(array({mins}), i + 1) "
+        f"+ (cast(c as double) + 0.5D) "
+        f"* ((element_at(array({maxs}), i + 1) - element_at(array({mins}), i + 1)) / 255))"
+    )
+    coded = emb.select("vec_id", F.expr(codes_expr).alias("codes")).select(
+        "vec_id", F.expr(recon_expr).alias("recon")
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("recon").alias("qr")
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "qdot",
+            F.round(F.expr(_DOT.format(a="recon", b="qr")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qdot",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_QCODES_CTE = f"""
+ne AS (
+  SELECT vec_id,
+         [cast(embedding[i] as double)
+            / sqrt({_DOT_DUCK.format(a='embedding', b='embedding')})
+          for i in range(1, {EMB_DIM} + 1)] AS nv
+  FROM embeddings
+),
+stats AS (
+  SELECT i AS d, min(nv[i]) AS mn, max(nv[i]) AS mx
+  FROM ne, unnest(range(1, {EMB_DIM} + 1)) AS u(i)
+  GROUP BY i
+),
+qrows AS (
+  SELECT e.vec_id, u.i,
+         s.mn + ((CASE WHEN s.mx > s.mn THEN
+            least(255, greatest(0,
+              floor((e.nv[u.i] - s.mn) / ((s.mx - s.mn) / 255))))
+          ELSE 0 END) + 0.5) * ((s.mx - s.mn) / 255) AS r
+  FROM ne e, unnest(range(1, {EMB_DIM} + 1)) AS u(i)
+  JOIN stats s ON s.d = u.i
+),
+coded AS (SELECT vec_id, list(r ORDER BY i) AS recon FROM qrows GROUP BY vec_id)
+"""
+
+ANN_QUANTIZED_SQL = f"""
+WITH {_QCODES_CTE.strip()},
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_sum([q.recon[i] * n.recon[i] for i in range(1, {EMB_DIM} + 1)]), 4) AS qdot
+  FROM coded q JOIN coded n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, qdot, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""

@@ -518,3 +518,43 @@ def test_embedding_quantize_matches_numpy(spark):
     assert got.qcode_fp.tolist() == fps
     # quantization uses the full code range on this corpus
     assert got.q_max.max() == 255 and got.q_min.min() == 0
+
+
+def test_ann_quantized_topk_matches_numpy(spark):
+    from mindocr_spark.operators import similarity as S
+
+    got = (
+        S.ann_quantized_topk(spark, SF)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    X = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    scale = np.where(mx > mn, (mx - mn) / 255.0, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = np.where(
+            mx > mn, np.clip(np.floor((X - mn) / np.where(scale > 0, scale, 1.0)), 0, 255), 0
+        ).astype(np.int64)
+    recon = mn + (q + 0.5) * scale
+    dots = np.round(recon @ recon.T, 4)
+    for qid in range(S.N_QUERIES):
+        order = sorted(
+            (v for v in range(len(X)) if v != qid),
+            key=lambda v: (-dots[qid, v], v),
+        )[: S.TOP_K]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub.neighbor_id.tolist() == order
+    # dequantized ranking closely tracks exact cosine: the true top-1
+    # appears in the quantized top-3 for most queries
+    cos = X @ X.T
+    hits = 0
+    for qid in range(S.N_QUERIES):
+        exact1 = max(
+            (v for v in range(len(X)) if v != qid), key=lambda v: cos[qid, v]
+        )
+        hits += int(exact1 in got[got.query_id == qid].neighbor_id.tolist())
+    assert hits >= int(0.6 * S.N_QUERIES)

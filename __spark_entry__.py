@@ -383,6 +383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — the SQ-ANN serving kernel; exact by construction, no float
         # rounding contract at all). Tail: locally gated.
         "ann_quantized_topk": similarity.ann_quantized_topk,
+        # round 5: tokenizer induction — corpus-weighted BPE pair counts
+        # (oracled) and the full iterative trainer (rows-only: the merge
+        # sequence is data-dependent, no static SQL mirror exists; the
+        # exactness oracle is the pure-Python reference BPE in pytest)
+        "bpe_merge_candidates": quality.bpe_merge_candidates,
+        "bpe_train_merges": quality.bpe_train_merges,
     }
 
 
@@ -488,4 +494,5 @@ def oracle_sql() -> dict[str, str]:
         "intra_doc_dedup": pretrain.INTRA_DOC_DEDUP_SQL,
         "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
         "ann_quantized_topk": similarity.ANN_QUANTIZED_SQL,
+        "bpe_merge_candidates": quality.BPE_MERGE_SQL,
     }

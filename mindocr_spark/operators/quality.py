@@ -758,3 +758,156 @@ FROM agg
 
 
 MODEL_QUALITY_SQL = _model_quality_sql()
+
+
+# --- BPE merge-candidate statistics (round 5) --------------------------------
+# The inner statistic of BPE tokenizer training (Sennrich et al. 2016):
+# corpus-weighted adjacent-symbol-pair counts. A full BPE train is this
+# count -> merge -> recount loop (driver-coordinated like the CC rounds);
+# the per-iteration heavy lifting is exactly this aggregation, so it is
+# the operator a 100 TB tokenizer-induction job runs repeatedly.
+
+BPE_TOP_K = 50
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K character-pair merge candidates over the corpus.
+
+    Counts every adjacent character pair inside every word occurrence
+    (pairs weighted by word frequency — the dedup-then-weight trick that
+    makes BPE training corpus-size-independent per distinct word).
+    Plan: word explode -> distinct-word count (map-side combinable) ->
+    bounded pair explode over DISTINCT words only -> weighted sum ->
+    top-K. The distinct-word table is tiny relative to the corpus (Heaps
+    law), so the pair explode never touches corpus-scale rows.
+    """
+    docs = _docs(spark, sf_dir)
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(2 * slots, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(w) - 1, 1)), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    from pyspark.sql.window import Window
+
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+            ),
+        )
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("pair", "n", F.col("rank").cast("int").alias("rank"))
+    )
+    return ranked
+
+
+BPE_MERGE_SQL = f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT wc, p AS pair
+  FROM words,
+       unnest([w[i:i+1] for i in range(1, greatest(strlen(w) - 1, 1) + 1)]) AS u(p)
+  WHERE strlen(p) = 2
+)
+SELECT pair, n, rank::INT AS rank
+FROM (SELECT pair, sum(wc)::BIGINT AS n,
+             row_number() OVER (ORDER BY sum(wc) DESC, pair ASC) AS rank
+      FROM pairs GROUP BY pair)
+WHERE rank <= {BPE_TOP_K}
+"""
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 12) -> DataFrame:
+    """Iterative BPE training (Sennrich et al. 2016): ``n_merges`` rounds
+    of count-best-pair -> greedy-merge over the distinct-word table.
+
+    Each round is one :func:`bpe_merge_candidates`-shaped aggregation
+    plus a 1-row argmax collect (the near_dup_clusters CC-round pattern),
+    then the merge is applied corpus-wide as a PURE CATALYST fold:
+    ``aggregate(syms, ..., (acc, x) -> if last(acc)=p1 and x=p2 then
+    replace-last-with-merged else append)`` — exactly greedy
+    left-to-right BPE ("a a a" + (a,a) -> ["aa", "a"]), no Python in the
+    loop body.  The distinct-word table is persisted and re-folded each
+    round; at 100 TB it is Heaps-law small relative to the corpus and
+    the per-round shuffle is one map-side-combinable pair count.
+
+    Registered rows-only: the merge SEQUENCE is data-dependent, so no
+    static SQL can mirror it (unlike the CC fixpoint's recursive CTE);
+    the exactness oracle is the pure-Python reference BPE in
+    tests/test_pretrain.py, asserted merge-for-merge and count-for-count.
+
+    Returns one row per merge: (step, left, right, merged, n).
+    """
+    from ..config import persist_intermediate
+
+    docs = _docs(spark, sf_dir)
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(2 * slots, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(F.expr("split(w, '')").alias("syms"), "wc")
+    )
+    words = persist_intermediate(words)
+    out = []
+    for step in range(n_merges):
+        pairs = words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(syms) - 1, 1)), "
+                    "i -> struct(try_element_at(syms, i) as l, try_element_at(syms, i + 1) as r))"
+                )
+            ).alias("p"),
+        ).filter(F.col("p.r").isNotNull())
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        out.append((step, l, r, l + r, n))
+        lq = l.replace("'", "\\'")
+        rq = r.replace("'", "\\'")
+        merged = (
+            words.select(
+                F.expr(
+                    f"aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+                    f"if(size(acc) > 0 and element_at(acc, -1) = '{lq}' and x = '{rq}', "
+                    f"concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}')), "
+                    f"concat(acc, array(x))))"
+                ).alias("syms"),
+                "wc",
+            )
+        )
+        new_words = persist_intermediate(merged)
+        new_words.count()  # materialize before unpersisting the parent
+        words.unpersist()
+        words = new_words
+    words.unpersist()
+    return spark.createDataFrame(
+        out, "step int, left string, right string, merged string, n long"
+    )

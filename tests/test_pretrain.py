@@ -11,6 +11,7 @@ import pandas as pd
 import pytest
 
 from mindocr_spark.operators import pretrain as P
+from mindocr_spark.operators import quality as Q
 
 SF = "/root/testdata/sf0.001"
 
@@ -558,3 +559,74 @@ def test_ann_quantized_topk_matches_numpy(spark):
         )
         hits += int(exact1 in got[got.query_id == qid].neighbor_id.tolist())
     assert hits >= int(0.6 * S.N_QUERIES)
+
+
+# --- BPE tokenizer induction -------------------------------------------------
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Pure-Python greedy BPE (Sennrich et al.) — the exactness oracle."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        counts = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((step, l, r, l + r, n))
+        new_words = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def test_bpe_merge_candidates_match_reference(spark):
+    from collections import Counter
+
+    got = (
+        Q.bpe_merge_candidates(spark, SF)
+        .toPandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pair_counts = Counter()
+    for t in docs.text:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                pair_counts[w[i : i + 2]] += 1
+    want = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.BPE_TOP_K]
+    assert got.pair.tolist() == [p for p, _ in want]
+    assert got.n.tolist() == [n for _, n in want]
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    got = [
+        (r.step, r.left, r.right, r.merged, r.n)
+        for r in Q.bpe_train_merges(spark, SF, n_merges=8)
+        .orderBy("step")
+        .collect()
+    ]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    wc = Counter(w for t in docs.text for w in t.split(" "))
+    want = _reference_bpe(wc, 8)
+    assert got == want
+    # the learned merges are real multi-char tokens, applied greedily
+    assert len(got) == 8 and all(len(m[3]) >= 2 for m in got)
+    # later merges can build on earlier ones (e.g. 3-char tokens appear)
+    assert any(len(m[3]) > 2 for m in got) or len(set(m[3] for m in got)) == 8

@@ -84,6 +84,9 @@ def main() -> None:
         "sequence_manifest",
         "epoch_sample",
         "intra_doc_dedup",
+        "embedding_quantize",
+        "ann_quantized_topk",
+        "bpe_merge_candidates",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -386,12 +386,14 @@ def semdedup_flags(emb: DataFrame, n_cells: int | None = None) -> DataFrame:
     # persist the assignment: it feeds both sides of the pair join and the
     # final keep/drop projection (3 consumers) — at scale this is the
     # materialized cluster-assignment table of the SemDeDup recipe, not an
-    # optional cache
-    assigned = (
+    # optional cache (persist_intermediate = the repo's explicit
+    # MEMORY_AND_DISK policy, not a bare .persist())
+    from ..config import persist_intermediate
+
+    assigned = persist_intermediate(
         dists.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "norm", F.col("cent_id").alias("cell"))
-        .persist()
     )
     lo = assigned.select(
         F.col("cell"),

@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
     )
     from mindocr_spark.streaming.incremental import (
+        stream_dedup_flags_batch,
         stream_windowed_counts_batch,
     )
 
@@ -389,6 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactness oracle is the pure-Python reference BPE in pytest)
         "bpe_merge_candidates": quality.bpe_merge_candidates,
         "bpe_train_merges": quality.bpe_train_merges,
+        # round 5: streaming daily-crawl dedup — arriving docs probe the
+        # STORED band/shingle state per micro-batch (foreachBatch,
+        # idempotent batch_id sink); deterministic across batch splits so
+        # fully hash-oracled via the augmented-corpus XXH64 SQL
+        "stream_dedup_flags": stream_dedup_flags_batch,
     }
 
 
@@ -495,4 +501,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
         "ann_quantized_topk": similarity.ANN_QUANTIZED_SQL,
         "bpe_merge_candidates": quality.BPE_MERGE_SQL,
+        "stream_dedup_flags": incremental.STREAM_DEDUP_SQL,
     }

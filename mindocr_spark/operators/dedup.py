@@ -865,7 +865,12 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully hash-oracled: the driver executes the generated SQL as one
 # statement and compares value hashes.
 
-def _minhash_fast_sql(cand_sql: str | None = None) -> str:
+def _minhash_fast_sql(
+    cand_sql: str | None = None,
+    pre_cte: str = "",
+    docs_rel: str = "documents",
+    final_sql: str | None = None,
+) -> str:
     """DuckDB mirror of :func:`minhash_lsh_pairs_fast`: the per-shingle
     XXH64 byte fold runs ONCE at seed 42 (the base fingerprint, matching
     Spark's ``xxhash64(shingle)``), each permutation is a generated
@@ -873,7 +878,11 @@ def _minhash_fast_sql(cand_sql: str | None = None) -> str:
     ``xxhash64(s, bh)``), and the 2-long band-key chain, banding + exact
     jaccard verification are the same plan as the md5 oracle.
     ``cand_sql`` overrides the candidate CTE body (the incremental
-    operator restricts candidates to pairs touching the arriving batch)."""
+    operator restricts candidates to pairs touching the arriving batch);
+    ``pre_cte``/``docs_rel`` let a caller prepend CTEs and shingle a
+    derived corpus instead of ``documents`` (the streaming-dedup facade
+    augments the corpus with remapped arrivals); ``final_sql`` replaces
+    the final SELECT over ``verified``."""
     from ..functions import xxh64_sql as X
 
     seeds = [X.xxh64_int_py(s, X.SPARK_SEED) for s in range(N_MINHASH)]
@@ -910,8 +919,11 @@ def _minhash_fast_sql(cand_sql: str | None = None) -> str:
   FROM bk a JOIN bk b
     ON a.band_no = b.band_no AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id"""
+    if final_sql is None:
+        final_sql = "SELECT doc_a, doc_b FROM verified"
+    shingles_sql = _SHINGLES_SQL.replace("FROM documents", f"FROM {docs_rel}")
     return f"""
-WITH shingles AS ({_SHINGLES_SQL}),
+WITH {pre_cte}shingles AS ({shingles_sql}),
 sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
 shw AS MATERIALIZED ({shw}),
 hx AS ({hx}),
@@ -924,7 +936,7 @@ bk AS ({bk}),
 cand AS ({cand_sql}
 ),
 {_VERIFY_SQL_TAIL.lstrip()}
-SELECT doc_a, doc_b FROM verified
+{final_sql}
 """
 
 

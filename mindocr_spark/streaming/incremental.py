@@ -175,3 +175,197 @@ def stream_windowed_counts_batch(
     )
     q.awaitTermination(600)
     return spark.read.parquet(os.path.join(tmp, "out"))
+
+
+# --- Streaming near-dup probe against a stored dedup state (round 5) ---------
+
+
+def build_dedup_state(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
+    """Materialize the corpus dedup state a streaming ingest probes:
+    the xxhash64 minhash BAND table (with per-doc shingle counts) and
+    the distinct SHINGLE table — exactly the two tables
+    ``minhash_lsh_pairs_fast`` computes in-flight, written as parquet.
+    At 10^12 docs these ARE the persistent state of the dedup service
+    (appended after each accepted batch); this helper seeds them from a
+    batch corpus once.
+    """
+    from ..operators.dedup import _docs, _shingles, _xxhash_bands
+
+    sh = _shingles(_docs(spark, sf_dir))
+    sh.write.mode("overwrite").parquet(f"{state_dir}/shingles")
+    sh_stored = spark.read.parquet(f"{state_dir}/shingles")
+    _xxhash_bands(sh_stored).write.mode("overwrite").parquet(f"{state_dir}/bands")
+
+
+def stream_dedup_flags(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming daily-crawl dedup: arriving documents are a file stream;
+    each micro-batch computes its own shingle/band rows with the SAME
+    kernels as the batch operator, probes the STORED corpus band table on
+    (band_no, band_key), exact-verifies candidates against the stored
+    shingle table, and appends per-arrival flags partitioned by batch_id
+    (idempotent overwrite — the stream_extract recovery contract).
+
+    This is :func:`mindocr_spark.operators.dedup.minhash_lsh_incremental`
+    with its "at scale the corpus band table is stored" note made real:
+    the corpus side is never recomputed, the probe work is
+    |batch| x bucket occupancy, and the batch plan inside foreachBatch is
+    identical to the driver-oracled incremental query (pytest asserts
+    flag-for-flag equality).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingles, _verify_candidates, _xxhash_bands
+
+    corpus_bands = spark.read.parquet(f"{state_dir}/bands")
+    corpus_sh = spark.read.parquet(f"{state_dir}/shingles")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sh = _shingles(batch_df.select("doc_id", "text"))
+        ab = _xxhash_bands(sh)
+        swap = F.col("a.doc_id") > F.col("b.doc_id")
+        cand = (
+            ab.alias("a")
+            .join(corpus_bands.alias("b"), ["band_no", "band_key"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                F.when(swap, F.col("b.n")).otherwise(F.col("a.n")).alias("na"),
+                F.when(swap, F.col("a.n")).otherwise(F.col("b.n")).alias("nb"),
+            )
+            .distinct()
+        )
+        verified = _verify_candidates(corpus_sh.unionByName(sh), cand)
+        flags = (
+            batch_df.select("doc_id")
+            .join(
+                verified.selectExpr("doc_a AS doc_id", "doc_b AS partner")
+                .unionByName(verified.selectExpr("doc_b AS doc_id", "doc_a AS partner"))
+                .groupBy("doc_id")
+                .agg(
+                    F.count("*").cast("long").alias("n_dups"),
+                    F.min("partner").alias("nearest"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
+                "nearest",
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        (
+            flags.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+        ab.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+ARRIVAL_OFFSET = 10_000_000
+
+
+def stream_dedup_flags_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated facade for :func:`stream_dedup_flags` (the
+    stream_windowed_counts_batch pattern): seed the dedup state from the
+    documents table, land every 10th document again under
+    ``doc_id + ARRIVAL_OFFSET`` as a two-file arrival stream, run the
+    probe with ``availableNow``, and return the per-arrival flags.
+
+    Deterministic regardless of micro-batch split: each batch probes
+    only the STORED corpus state (arrival-vs-arrival pairs are a
+    different operator), so flags equal the one-shot batch probe — which
+    is exactly what STREAM_DEDUP_SQL recomputes on DuckDB over the
+    augmented corpus via the generated XXH64 band/verify pipeline.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="mindocr_stream_dedup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    state = f"{work}/state"
+    land = f"{work}/arrivals"
+    out = f"{work}/flags"
+    ckpt = f"{work}/ckpt"
+    build_dedup_state(spark, sf_dir, state)
+
+    import os
+
+    os.makedirs(land, exist_ok=True)
+    arriving = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + ARRIVAL_OFFSET).alias("doc_id"), "text"
+        )
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    half = len(arriving) // 2
+    arriving.iloc[:half].to_parquet(f"{land}/b0.parquet", index=False)
+    arriving.iloc[half:].to_parquet(f"{land}/b1.parquet", index=False)
+
+    q = stream_dedup_flags(spark, land, state, out, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("doc_id", "n_dups", "nearest")
+
+
+def _stream_dedup_sql() -> str:
+    from ..operators.dedup import INCREMENT_MOD, _minhash_fast_sql
+
+    pre = f"""docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ARRIVAL_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {INCREMENT_MOD} = 0
+),
+"""
+    cand = f"""
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+  WHERE a.doc_id >= {ARRIVAL_OFFSET} AND b.doc_id < {ARRIVAL_OFFSET}"""
+    final = f"""
+SELECT d.doc_id, coalesce(l.n_dups, 0)::BIGINT AS n_dups, l.nearest
+FROM (SELECT doc_id FROM docs_aug WHERE doc_id >= {ARRIVAL_OFFSET}) d
+LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_dups, min(partner)::BIGINT AS nearest
+  FROM (SELECT doc_b AS doc_id, doc_a AS partner FROM verified
+        UNION ALL
+        SELECT doc_a AS doc_id, doc_b AS partner FROM verified) links
+  GROUP BY doc_id
+) l USING (doc_id)"""
+    return _minhash_fast_sql(
+        cand_sql=cand, pre_cte=pre, docs_rel="docs_aug", final_sql=final
+    )
+
+
+STREAM_DEDUP_SQL = _stream_dedup_sql()

@@ -200,3 +200,92 @@ def test_salted_flagship_equals_unsalted(spark, small_corpus):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_stream_dedup_flags_probe_stored_state(spark, tmp_path):
+    """Streaming daily-crawl dedup: arriving docs (exact copies of every
+    10th corpus doc under new ids) probe the stored band/shingle state;
+    every arrival must flag its original as a near-dup, flags must match
+    the same probe run as one batch, and checkpoint restart must be a
+    no-op."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from mindocr_spark.streaming.incremental import (
+        build_dedup_state,
+        stream_dedup_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "state")
+    build_dedup_state(spark, sf, state)
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    arriving = docs[docs.doc_id % 10 == 0].copy()
+    arriving["doc_id"] = arriving.doc_id + 10_000_000
+    land = tmp_path / "arrivals"
+    land.mkdir()
+    half = len(arriving) // 2
+    arriving.iloc[:half].to_parquet(land / "b0.parquet", index=False)
+    arriving.iloc[half:].to_parquet(land / "b1.parquet", index=False)
+
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup_flags(spark, str(land), state, out, ckpt)
+    q.awaitTermination(240)
+
+    flags = spark.read.parquet(out).toPandas().sort_values("doc_id", ignore_index=True)
+    assert len(flags) == len(arriving)
+    assert sorted(flags.batch_id.unique().tolist()) == [0, 1]
+    # an exact text copy always clears the jaccard threshold: every
+    # arrival is flagged, and its nearest partner is <= its original id
+    assert (flags.n_dups >= 1).all()
+    assert (flags.nearest <= flags.doc_id - 10_000_000).all()
+
+    # batch equivalence: the same probe as one non-streaming pass
+    from mindocr_spark.operators.dedup import (
+        _shingles,
+        _verify_candidates,
+        _xxhash_bands,
+    )
+
+    adf = spark.createDataFrame(arriving)
+    sh = _shingles(adf)
+    ab = _xxhash_bands(sh)
+    corpus_bands = spark.read.parquet(f"{state}/bands")
+    corpus_sh = spark.read.parquet(f"{state}/shingles")
+    swap = F.col("a.doc_id") > F.col("b.doc_id")
+    cand = (
+        ab.alias("a")
+        .join(corpus_bands.alias("b"), ["band_no", "band_key"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(swap, F.col("b.n")).otherwise(F.col("a.n")).alias("na"),
+            F.when(swap, F.col("a.n")).otherwise(F.col("b.n")).alias("nb"),
+        )
+        .distinct()
+    )
+    verified = _verify_candidates(corpus_sh.unionByName(sh), cand).toPandas()
+    want = (
+        pd.concat(
+            [
+                verified.rename(columns={"doc_a": "doc_id", "doc_b": "partner"}),
+                verified.rename(columns={"doc_b": "doc_id", "doc_a": "partner"}),
+            ]
+        )
+        .groupby("doc_id")
+        .agg(n_dups=("partner", "size"), nearest=("partner", "min"))
+        .reindex(arriving.doc_id)
+    )
+    want_flags = want[want.n_dups.notna()]
+    got_flagged = flags[flags.n_dups > 0].set_index("doc_id")
+    assert got_flagged.n_dups.to_dict() == want_flags.n_dups.astype(int).to_dict()
+    assert got_flagged.nearest.to_dict() == want_flags.nearest.astype(int).to_dict()
+
+    # restart: availableNow over a consumed checkpoint is a no-op
+    q2 = stream_dedup_flags(spark, str(land), state, out, ckpt)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out).toPandas()
+    assert len(again) == len(flags)

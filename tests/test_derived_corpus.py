@@ -100,6 +100,10 @@ def test_queries_oracle_keys_consistent():
         # round 5: TableMaster pred_html per ruled payload — OCR path,
         # exact HTML goldens in tests/test_table_extract.py
         "table_html_records",
+        # round 5: iterative BPE trainer — the merge sequence is
+        # data-dependent (no static SQL mirror exists); the exactness
+        # oracle is the pure-Python reference BPE in tests/test_pretrain.py
+        "bpe_train_merges",
     }
 
 

@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mindocr_spark.operators import (
         dedup,
         kie,
+        multimodal,
         pretrain,
         quality,
         rec_labels,
@@ -395,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # idempotent batch_id sink); deterministic across batch splits so
         # fully hash-oracled via the augmented-corpus XXH64 SQL
         "stream_dedup_flags": stream_dedup_flags_batch,
+        # round 5: perceptual image dedup over the real media column —
+        # dHash signatures + 4x16-bit banded near-dup pairs (rows-only:
+        # PNG decode has no SQL mirror; kernel exact-pinned in pytest)
+        "image_dhash_signatures": multimodal.image_dhash_signatures,
+        "image_near_dup": multimodal.image_near_dup,
     }
 
 

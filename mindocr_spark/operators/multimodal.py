@@ -166,3 +166,95 @@ def video_frame_sample(df: DataFrame, every_n: int = 10, strict: bool = False) -
     return df.select("media_ref", "video").mapInPandas(
         video_frame_sample_iter(every_n, strict), VIDEO_FRAMES_SCHEMA
     )
+
+
+# --- Perceptual image near-dup (round 5) -------------------------------------
+
+PHASH_HAMMING_MAX = 3
+_PHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-complete at hamming <= 3
+
+
+def image_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit dHash per decodable media payload of the derived corpus —
+    the multimodal-column twin of ``simhash_signatures``: the signature
+    the image-dedup path banks per ingested image.  PDFs/corrupt payloads
+    are skipped with the decode node's tolerance (``ok = false`` rows are
+    simply absent, like the reference's decode-failure skip).
+
+    Plan: one explicit repartition of the media table (CPU-bound Python
+    stage — the CLAUDE.md invariant), one Arrow-batched mapInPandas over
+    the shared pure-numpy kernel (``functions/phash.py``), no shuffle
+    after. Rows-only surface: a PNG decode has no SQL mirror; the kernel
+    is exact-pinned in pytest (identity / noise / distinct fixtures)."""
+    import pandas as pd
+
+    from ..data.derive_corpus import derive_corpus
+    from ..functions.phash import dhash64
+    from ..functions.png_codec import decode_png
+
+    _, media = derive_corpus(spark, sf_dir)
+    slots = spark.sparkContext.defaultParallelism
+
+    def it(batches):
+        for pdf in batches:
+            refs, sigs = [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["image"]):
+                try:
+                    img = decode_png(bytes(blob))
+                except Exception:  # noqa: BLE001 - non-PNG payloads skip
+                    continue
+                refs.append(ref)
+                sigs.append(dhash64(img))
+            yield pd.DataFrame({"media_ref": refs, "dhash": sigs})
+
+    return (
+        media.repartition(2 * slots, "media_ref")
+        .select("media_ref", "image")
+        .mapInPandas(it, "media_ref string, dhash long")
+    )
+
+
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs: dHash signatures banded 4 x 16 bits
+    (pigeonhole: hamming <= 3 implies one identical band) -> band
+    equi-join -> exact ``bit_count(xor)`` filter — the simhash banded
+    recipe applied to the media column.  At 10^12 images the band table
+    is the stored state and arriving images probe it (the
+    stream_dedup_flags shape)."""
+    from pyspark.sql import functions as F
+
+    sig = image_dhash_signatures(spark, sf_dir)
+    from ..config import persist_intermediate
+
+    bands = persist_intermediate(
+        sig.select(
+            "media_ref",
+            "dhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_no"),
+                            F.expr(
+                                f"cast((dhash >> {16 * b}) & 65535 as int)"
+                            ).alias("band_key"),
+                        )
+                        for b in range(_PHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("media_ref", "dhash", "bb.band_no", "bb.band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("a.media_ref") < F.col("b.media_ref"))
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            F.expr("cast(bit_count(a.dhash ^ b.dhash) as int)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+    )

@@ -104,6 +104,10 @@ def test_queries_oracle_keys_consistent():
         # data-dependent (no static SQL mirror exists); the exactness
         # oracle is the pure-Python reference BPE in tests/test_pretrain.py
         "bpe_train_merges",
+        # round 5: perceptual image dedup — PNG decode has no SQL mirror;
+        # kernel exact-pinned in tests/test_multimodal.py
+        "image_dhash_signatures",
+        "image_near_dup",
     }
 
 

@@ -82,3 +82,71 @@ def test_video_frame_sample(spark):
     rows = video_frame_sample(df, every_n=10).collect()
     assert [r["frame_idx"] for r in rows] == list(range(0, 50, 10))
     assert decode_png(bytes(rows[0]["frame"])).shape == (16, 16)
+
+
+# --- Perceptual image dedup (round 5) ----------------------------------------
+
+
+def test_dhash_kernel_identity_noise_distinct():
+    import numpy as np
+
+    from mindocr_spark.functions.phash import dhash64, hamming64
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(96, 128), dtype=np.uint8)
+    # identity: same pixels -> same hash, hamming 0
+    assert dhash64(base) == dhash64(base.copy())
+    # tiny noise: flip a few pixels slightly -> within a few bits
+    noisy = base.copy().astype(np.int16)
+    noisy[::13, ::17] += 2
+    h_noise = hamming64(dhash64(base), dhash64(np.clip(noisy, 0, 255).astype(np.uint8)))
+    assert h_noise <= 3
+    # a different random image -> far away
+    other = rng.integers(0, 256, size=(96, 128), dtype=np.uint8)
+    assert hamming64(dhash64(base), dhash64(other)) > 10
+    # RGB reduces to the channel mean
+    rgb = np.stack([base, base, base], axis=2)
+    assert dhash64(rgb) == dhash64(base)
+
+
+def test_image_near_dup_finds_reencoded_copy(spark, tmp_path, monkeypatch):
+    """Two media refs carrying the same pixels (one lightly perturbed)
+    must pair at hamming <= 3; a distinct page must not pair with them."""
+    import numpy as np
+    import pandas as pd
+
+    from mindocr_spark.data import derive_corpus as dc
+    from mindocr_spark.functions.png_codec import encode_png
+    from mindocr_spark.operators.multimodal import image_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(64, 96), dtype=np.uint8)
+    tweaked = base.copy().astype(np.int16)
+    tweaked[::11, ::9] += 1
+    tweaked = np.clip(tweaked, 0, 255).astype(np.uint8)
+    distinct = rng.integers(0, 256, size=(64, 96), dtype=np.uint8)
+    media_pdf = pd.DataFrame(
+        {
+            "media_ref": ["m_base", "m_copy", "m_other"],
+            "image": [encode_png(base), encode_png(tweaked), encode_png(distinct)],
+        }
+    )
+    spans = spark.createDataFrame(pd.DataFrame({"doc_id": ["d0"]}))
+    media = spark.createDataFrame(media_pdf)
+    monkeypatch.setattr(dc, "derive_corpus", lambda s, d: (spans, media))
+    # the operator imports derive_corpus lazily from the module, so the
+    # monkeypatch takes effect
+    pairs = image_near_dup(spark, "unused").toPandas()
+    keys = {tuple(sorted((r.ref_a, r.ref_b))) for r in pairs.itertuples()}
+    assert ("m_base", "m_copy") in keys
+    assert not any("m_other" in k for k in keys)
+
+
+def test_image_dhash_signatures_on_corpus(spark):
+    from mindocr_spark.operators.multimodal import image_dhash_signatures
+
+    sig = image_dhash_signatures(spark, "/root/testdata/sf0.001").toPandas()
+    # every decodable payload got a signature; PDFs were skipped silently
+    assert len(sig) > 0
+    assert sig.media_ref.is_unique
+    assert sig.dhash.dtype.kind == "i"

@@ -44,6 +44,11 @@ HEADLINE = [
     "mixture_weights",
     "semdedup",
     "boilerplate_line_removal",
+    "model_quality_filter",
+    "epoch_sample",
+    "intra_doc_dedup",
+    "bpe_merge_candidates",
+    "image_near_dup",
 ]
 
 

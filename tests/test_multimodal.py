@@ -150,3 +150,16 @@ def test_image_dhash_signatures_on_corpus(spark):
     assert len(sig) > 0
     assert sig.media_ref.is_unique
     assert sig.dhash.dtype.kind == "i"
+
+
+def test_image_near_dup_plan_no_cartesian(spark):
+    from mindocr_spark.operators.multimodal import image_near_dup
+
+    plan = (
+        image_near_dup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -163,3 +163,22 @@ def test_image_near_dup_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_pool_properties():
+    import numpy as np
+
+    from mindocr_spark.functions.phash import _pool_mean, dhash64
+
+    # constant image: every cell equal, all gradients false -> hash 0
+    flat = np.full((50, 77), 128, dtype=np.uint8)
+    assert dhash64(flat) == 0
+    # pooling a constant image is exact
+    assert (_pool_mean(flat, 8, 9) == 128.0).all()
+    # pooling preserves the global mean exactly on evenly divisible dims
+    img = np.arange(72 * 72, dtype=np.uint8).reshape(72, 72) % 251
+    cells = _pool_mean(img, 8, 9)
+    assert cells.shape == (8, 9)
+    # a left-to-right brightness ramp turns every gradient on -> all ones
+    ramp = np.tile(np.arange(0, 90, 10, dtype=np.uint8), (16, 1))
+    assert dhash64(ramp) == -1  # 64 set bits = signed -1

@@ -401,6 +401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PNG decode has no SQL mirror; kernel exact-pinned in pytest)
         "image_dhash_signatures": multimodal.image_dhash_signatures,
         "image_near_dup": multimodal.image_near_dup,
+        # round 5: the encode side of the trained BPE merges — per-word
+        # token counts under the learned vocab (rows-only like the
+        # trainer; segmentation pinned against the reference BPE)
+        "bpe_apply": quality.bpe_apply,
     }
 
 

@@ -911,3 +911,48 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 12) -> Da
     return spark.createDataFrame(
         out, "step int, left string, right string, merged string, n long"
     )
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str, n_merges: int = 12) -> DataFrame:
+    """Encode the corpus with the merges :func:`bpe_train_merges` learned:
+    per distinct word, the symbol count before/after applying the merge
+    sequence — the token-count table a packing stage would consume under
+    the learned vocabulary.
+
+    Encoding folds each learned merge ONCE, in rank order — exactly the
+    corpus state BPE training itself produced after ``n_merges`` rounds
+    (training applied each merge corpus-wide in that same order), so the
+    segmentation equals the trainer's final word table verbatim
+    (pytest-pinned against the pure-Python reference).  The merges are
+    collected once (<= n_merges rows) and baked into a nested Catalyst
+    fold expression — the encode pass itself is a stateless map over the
+    Heaps-law-small distinct-word table, zero joins.  Rows-only (the
+    merge sequence is data-dependent, like the trainer)."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(spark, sf_dir, n_merges).orderBy("step").collect()
+    ]
+    docs = _docs(spark, sf_dir)
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(2 * slots, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    expr = "split(w, '')"
+    for l, r in merges:
+        lq = l.replace("'", "\\'")
+        rq = r.replace("'", "\\'")
+        expr = (
+            f"aggregate({expr}, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{lq}' and x = '{rq}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}')), "
+            f"concat(acc, array(x))))"
+        )
+    return words.select(
+        "w",
+        "wc",
+        F.length("w").cast("int").alias("n_chars"),
+        F.expr(f"size({expr})").cast("int").alias("n_bpe_tokens"),
+    )

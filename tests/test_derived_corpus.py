@@ -108,6 +108,8 @@ def test_queries_oracle_keys_consistent():
         # kernel exact-pinned in tests/test_multimodal.py
         "image_dhash_signatures",
         "image_near_dup",
+        # round 5: BPE encode — data-dependent merges, like the trainer
+        "bpe_apply",
     }
 
 

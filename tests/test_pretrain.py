@@ -630,3 +630,43 @@ def test_bpe_train_matches_reference(spark):
     assert len(got) == 8 and all(len(m[3]) >= 2 for m in got)
     # later merges can build on earlier ones (e.g. 3-char tokens appear)
     assert any(len(m[3]) > 2 for m in got) or len(set(m[3] for m in got)) == 8
+
+
+def test_bpe_apply_matches_reference_segmentation(spark):
+    from collections import Counter
+
+    got = {
+        r.w: (r.wc, r.n_chars, r.n_bpe_tokens)
+        for r in Q.bpe_apply(spark, SF, n_merges=8).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    wc = Counter(w for t in docs.text for w in t.split(" "))
+    # reference: replay the trainer and read its final word segmentation
+    words = {tuple(w): c for w, c in wc.items()}
+    for _ in range(8):
+        counts = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        new_words = {}
+        for syms, c in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    want = {"".join(syms): len(syms) for syms in words}
+    assert set(got) == set(want)
+    for w, (c, n_chars, n_tok) in got.items():
+        assert c == wc[w] and n_chars == len(w) and n_tok == want[w]
+    # merges compress: some words got shorter, none got longer
+    assert any(got[w][2] < got[w][1] for w in got)
+    assert all(got[w][2] <= got[w][1] for w in got)

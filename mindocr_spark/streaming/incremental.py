@@ -369,3 +369,141 @@ LEFT JOIN (
 
 
 STREAM_DEDUP_SQL = _stream_dedup_sql()
+
+
+# --- Streaming image-dedup probe (round 5): the phash twin -------------------
+
+
+def build_image_dedup_state(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> None:
+    """Materialize the perceptual-hash state a streaming image ingest
+    probes: the dHash signature table of the corpus media (the image
+    twin of :func:`build_dedup_state`'s band/shingle tables)."""
+    from ..operators.multimodal import image_dhash_signatures
+
+    image_dhash_signatures(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{state_dir}/image_sigs"
+    )
+
+
+def stream_image_dedup_flags(
+    spark: SparkSession,
+    images_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming image near-dup: arriving (media_ref, image) rows are a
+    file stream; each micro-batch dHashes its images with the shared
+    pure-numpy kernel, probes the STORED signature table via the 4x16-bit
+    pigeonhole bands, exact-filters on ``bit_count(xor) <= 3`` and
+    appends per-arrival flags partitioned by batch_id (idempotent
+    overwrite). Undecodable payloads flag ``n_dups = -1`` (the decode
+    node's skip-and-count contract) rather than vanishing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions.phash import dhash64
+    from ..functions.png_codec import decode_png
+    from ..operators.multimodal import PHASH_HAMMING_MAX, _PHASH_BANDS
+
+    stored = spark.read.parquet(f"{state_dir}/image_sigs")
+    band_expr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_no"),
+                    F.expr(f"cast((dhash >> {16 * b}) & 65535 as int)").alias(
+                        "band_key"
+                    ),
+                )
+                for b in range(_PHASH_BANDS)
+            ]
+        )
+    ).alias("bb")
+    stored_bands = stored.select("media_ref", "dhash", band_expr).select(
+        F.col("media_ref").alias("ref_b"),
+        F.col("dhash").alias("dh_b"),
+        "bb.band_no",
+        "bb.band_key",
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+
+        def it(batches):
+            for pdf in batches:
+                refs, sigs, oks = [], [], []
+                for ref, blob in zip(pdf["media_ref"], pdf["image"]):
+                    try:
+                        sig = dhash64(decode_png(bytes(blob)))
+                        ok = True
+                    except Exception:  # noqa: BLE001 - undecodable arrival
+                        sig, ok = 0, False
+                    refs.append(ref)
+                    sigs.append(sig)
+                    oks.append(ok)
+                yield pd.DataFrame(
+                    {"media_ref": refs, "dhash": sigs, "ok": oks}
+                )
+
+        sig = batch_df.select("media_ref", "image").mapInPandas(
+            it, "media_ref string, dhash long, ok boolean"
+        )
+        arr_bands = (
+            sig.filter("ok")
+            .select("media_ref", "dhash", band_expr)
+            .select(
+                F.col("media_ref").alias("ref_a"),
+                F.col("dhash").alias("dh_a"),
+                "bb.band_no",
+                "bb.band_key",
+            )
+        )
+        hits = (
+            arr_bands.join(stored_bands, ["band_no", "band_key"])
+            .withColumn(
+                "hamming", F.expr("cast(bit_count(dh_a ^ dh_b) as int)")
+            )
+            .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+            .select("ref_a", "ref_b", "hamming")
+            .distinct()
+            .groupBy("ref_a")
+            .agg(
+                F.count("*").cast("long").alias("n_dups"),
+                F.min("ref_b").alias("nearest_ref"),
+            )
+        )
+        flags = (
+            sig.select("media_ref", "ok")
+            .join(hits.withColumnRenamed("ref_a", "media_ref"), "media_ref", "left")
+            .select(
+                "media_ref",
+                F.when(~F.col("ok"), F.lit(-1).cast("long"))
+                .otherwise(F.coalesce("n_dups", F.lit(0).cast("long")))
+                .alias("n_dups"),
+                "nearest_ref",
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        (
+            flags.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("media_ref string, image binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(images_dir)
+    )
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

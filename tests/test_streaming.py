@@ -289,3 +289,55 @@ def test_stream_dedup_flags_probe_stored_state(spark, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.parquet(out).toPandas()
     assert len(again) == len(flags)
+
+
+def test_stream_image_dedup_flags(spark, tmp_path):
+    """Arriving images probe the stored dHash state: a lightly perturbed
+    copy of a stored page flags its original; a fresh random image flags
+    nothing; junk bytes flag -1 (decode-skip contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from mindocr_spark.functions.png_codec import decode_png, encode_png
+    from mindocr_spark.streaming.incremental import (
+        build_image_dedup_state,
+        stream_image_dedup_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "istate")
+    build_image_dedup_state(spark, sf, state)
+    sigs = spark.read.parquet(f"{state}/image_sigs").limit(1).collect()
+    assert sigs, "corpus must contribute at least one decodable image"
+    ref0 = sigs[0]["media_ref"]
+
+    from mindocr_spark.data.derive_corpus import derive_corpus
+
+    _, media = derive_corpus(spark, sf)
+    src = media.filter(media.media_ref == ref0).select("image").collect()[0][0]
+    img = decode_png(bytes(src)).astype(np.int16)
+    img[::17, ::13] += 1
+    perturbed = encode_png(np.clip(img, 0, 255).astype("uint8"))
+    rng = np.random.default_rng(3)
+    fresh = encode_png(rng.integers(0, 256, size=(64, 96), dtype="uint8"))
+
+    land = tmp_path / "img_arrivals"
+    land.mkdir()
+    pd.DataFrame(
+        {
+            "media_ref": ["arr_copy", "arr_fresh", "arr_junk"],
+            "image": [perturbed, fresh, b"not a png"],
+        }
+    ).to_parquet(land / "b0.parquet", index=False)
+
+    out = str(tmp_path / "iflags")
+    q = stream_image_dedup_flags(
+        spark, str(land), state, out, str(tmp_path / "ickpt")
+    )
+    q.awaitTermination(240)
+    flags = {
+        r.media_ref: r.asDict() for r in spark.read.parquet(out).collect()
+    }
+    assert flags["arr_copy"]["n_dups"] >= 1
+    assert flags["arr_fresh"]["n_dups"] == 0
+    assert flags["arr_junk"]["n_dups"] == -1 and flags["arr_junk"]["nearest_ref"] is None

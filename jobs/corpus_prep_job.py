@@ -161,33 +161,41 @@ def run_corpus_prep(
         "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
     )
     todo = final.filter(~F.col("bucket").isin(sorted(done))) if done else final
-    t0 = _time.time()
-    (
-        todo.repartition(n_buckets, "bucket")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(corpus_path)
-    )
-    wall = _time.time() - t0
-    out_now = spark.read.parquet(corpus_path)
-    fresh = (
-        out_now.filter(~F.col("bucket").isin(sorted(done))) if done else out_now
-    )
-    stat_rows = (
-        fresh.groupBy(F.col("bucket").cast("int").alias("bucket"))
+    # Per-bucket commit loop: each bucket's partition is written and its
+    # lineage row appended immediately after that partition commits, so a
+    # mid-run crash loses at most the one in-flight bucket (the advertised
+    # resume granularity). The upstream pipeline is persisted once; the
+    # per-bucket writes are partition-pruned scans of the cached table.
+    from mindocr_spark.config import persist_intermediate
+
+    todo = persist_intermediate(todo.repartition(n_buckets, "bucket"))
+    stat_pdf = (
+        todo.groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
-        .withColumn("status", F.lit("complete"))
-        .withColumn("wall_sec", F.lit(float(wall)))
-        .withColumn("run_id", F.lit(run_id))
-        .select("bucket", "status", "n_docs", "n_tokens", "wall_sec", "run_id")
-        .collect()
+        .toPandas()
+        .sort_values("bucket", ignore_index=True)
     )
-    spark.createDataFrame(stat_rows, PREP_LINEAGE_SCHEMA).write.mode(
-        "append"
-    ).parquet(f"{corpus_path}/_lineage")
+    stat_rows = []
+    for rec in stat_pdf.itertuples(index=False):
+        t0 = _time.time()
+        (
+            todo.filter(F.col("bucket") == int(rec.bucket))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(corpus_path)
+        )
+        row = (
+            int(rec.bucket), "complete", int(rec.n_docs), int(rec.n_tokens),
+            float(_time.time() - t0), run_id,
+        )
+        spark.createDataFrame([row], PREP_LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{corpus_path}/_lineage")
+        stat_rows.append(row)
+    todo.unpersist()
 
     # 6. sampling weights over the ORIGINAL corpus composition (the
     # mixture decision is made on what exists, not on what survived)

@@ -308,6 +308,8 @@ def stream_dedup_flags_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from ..operators.dedup import INCREMENT_MOD
+
     work = tempfile.mkdtemp(prefix="mindocr_stream_dedup_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     state = f"{work}/state"
@@ -321,7 +323,7 @@ def stream_dedup_flags_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(land, exist_ok=True)
     arriving = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .filter(F.col("doc_id") % 10 == 0)
+        .filter(F.col("doc_id") % INCREMENT_MOD == 0)
         .select(
             (F.col("doc_id") + ARRIVAL_OFFSET).alias("doc_id"), "text"
         )
@@ -450,8 +452,14 @@ def stream_image_dedup_flags(
                     {"media_ref": refs, "dhash": sigs, "ok": oks}
                 )
 
-        sig = batch_df.select("media_ref", "image").mapInPandas(
-            it, "media_ref string, dhash long, ok boolean"
+        # the dHash stage is CPU-bound Python feeding BOTH arr_bands and
+        # the final flags join — persist so each arrival decodes once
+        from ..config import persist_intermediate
+
+        sig = persist_intermediate(
+            batch_df.select("media_ref", "image").mapInPandas(
+                it, "media_ref string, dhash long, ok boolean"
+            )
         )
         arr_bands = (
             sig.filter("ok")
@@ -495,6 +503,7 @@ def stream_image_dedup_flags(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )
+        sig.unpersist()
 
     stream = (
         spark.readStream.schema("media_ref string, image binary")

@@ -789,15 +789,16 @@ def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit Manku block-combination near-dup (production twin of
-    :func:`simhash_near_dup_manku`; module comment above). Exact at
-    hamming <= SIMHASH_BANDED_HAMMING_MAX by the same pigeonhole: <= 3 bit
-    errors corrupt <= 3 of the 7 blocks, so every qualifying pair agrees
-    exactly on some 4-block combination key."""
+def manku64_combo_structs(sig_col: str) -> list:
+    """The C(7,4) = 35 Manku table keys over a 64-bit signature column as
+    (combo_id, combo_key) struct expressions — each key packs 4 of the 7
+    blocks (>= 36 bits of keyspace per table), so the pigeonhole holds
+    for ANY 64-bit perceptual/sim hash: <= 3 bit errors corrupt <= 3
+    blocks, leaving some 4-block combination exactly equal. Shared by
+    :func:`simhash64_near_dup` and the image dHash family
+    (operators/multimodal.py, streaming/incremental.py)."""
     from itertools import combinations
 
-    sig = simhash64_signatures(spark, sf_dir)
     structs = []
     for cid, combo in enumerate(
         combinations(range(N_MANKU64_BLOCKS), _MANKU64_PICK)
@@ -807,7 +808,7 @@ def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in combo:
             mask = (1 << _MANKU64_SIZES[b]) - 1
             parts.append(
-                f"shiftleft((simhash >> {_MANKU64_STARTS[b]}) & {mask}, {shift})"
+                f"shiftleft(({sig_col} >> {_MANKU64_STARTS[b]}) & {mask}, {shift})"
             )
             shift += _MANKU64_SIZES[b]
         structs.append(
@@ -816,6 +817,17 @@ def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(" + ".join(parts)).alias("combo_key"),
             )
         )
+    return structs
+
+
+def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit Manku block-combination near-dup (production twin of
+    :func:`simhash_near_dup_manku`; module comment above). Exact at
+    hamming <= SIMHASH_BANDED_HAMMING_MAX by the same pigeonhole: <= 3 bit
+    errors corrupt <= 3 of the 7 blocks, so every qualifying pair agrees
+    exactly on some 4-block combination key."""
+    sig = simhash64_signatures(spark, sf_dir)
+    structs = manku64_combo_structs("simhash")
     tabs = sig.select(
         "doc_id", "simhash", F.explode(F.array(*structs)).alias("c")
     ).select("doc_id", "simhash", "c.combo_id", "c.combo_key")

@@ -380,13 +380,15 @@ def build_image_dedup_state(
     spark: SparkSession, sf_dir: str, state_dir: str
 ) -> None:
     """Materialize the perceptual-hash state a streaming image ingest
-    probes: the dHash signature table of the corpus media (the image
-    twin of :func:`build_dedup_state`'s band/shingle tables)."""
-    from ..operators.multimodal import image_dhash_signatures
+    probes: the Manku C(7,4) combo table of the corpus media's dHashes
+    (the image twin of :func:`build_dedup_state`'s band/shingle tables;
+    round-6 layout — probe-ready combo keys stored, not recomputed per
+    micro-batch)."""
+    from ..operators.multimodal import image_combo_table, image_dhash_signatures
 
-    image_dhash_signatures(spark, sf_dir).write.mode("overwrite").parquet(
-        f"{state_dir}/image_sigs"
-    )
+    image_combo_table(image_dhash_signatures(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/image_combos")
 
 
 def stream_image_dedup_flags(
@@ -399,37 +401,25 @@ def stream_image_dedup_flags(
 ) -> StreamingQuery:
     """Streaming image near-dup: arriving (media_ref, image) rows are a
     file stream; each micro-batch dHashes its images with the shared
-    pure-numpy kernel, probes the STORED signature table via the 4x16-bit
-    pigeonhole bands, exact-filters on ``bit_count(xor) <= 3`` and
-    appends per-arrival flags partitioned by batch_id (idempotent
-    overwrite). Undecodable payloads flag ``n_dups = -1`` (the decode
-    node's skip-and-count contract) rather than vanishing."""
+    pure-numpy kernel, probes the STORED Manku combo table (C(7,4)
+    tables on >= 2^36-key prefixes — the ``simhash64_near_dup`` layout,
+    round-6 rewrite of the bounded 4x16-bit bands), exact-filters on
+    ``bit_count(xor) <= 3`` and appends per-arrival flags partitioned by
+    batch_id (idempotent overwrite). Undecodable payloads flag
+    ``n_dups = -1`` (the decode node's skip-and-count contract) rather
+    than vanishing."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from ..functions.phash import dhash64
     from ..functions.png_codec import decode_png
-    from ..operators.multimodal import PHASH_HAMMING_MAX, _PHASH_BANDS
+    from ..operators.multimodal import PHASH_HAMMING_MAX, image_combo_table
 
-    stored = spark.read.parquet(f"{state_dir}/image_sigs")
-    band_expr = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_no"),
-                    F.expr(f"cast((dhash >> {16 * b}) & 65535 as int)").alias(
-                        "band_key"
-                    ),
-                )
-                for b in range(_PHASH_BANDS)
-            ]
-        )
-    ).alias("bb")
-    stored_bands = stored.select("media_ref", "dhash", band_expr).select(
+    stored_combos = spark.read.parquet(f"{state_dir}/image_combos").select(
         F.col("media_ref").alias("ref_b"),
         F.col("dhash").alias("dh_b"),
-        "bb.band_no",
-        "bb.band_key",
+        "combo_id",
+        "combo_key",
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -461,18 +451,16 @@ def stream_image_dedup_flags(
                 it, "media_ref string, dhash long, ok boolean"
             )
         )
-        arr_bands = (
-            sig.filter("ok")
-            .select("media_ref", "dhash", band_expr)
-            .select(
-                F.col("media_ref").alias("ref_a"),
-                F.col("dhash").alias("dh_a"),
-                "bb.band_no",
-                "bb.band_key",
-            )
+        arr_combos = image_combo_table(
+            sig.filter("ok").select("media_ref", "dhash")
+        ).select(
+            F.col("media_ref").alias("ref_a"),
+            F.col("dhash").alias("dh_a"),
+            "combo_id",
+            "combo_key",
         )
         hits = (
-            arr_bands.join(stored_bands, ["band_no", "band_key"])
+            arr_combos.join(stored_combos, ["combo_id", "combo_key"])
             .withColumn(
                 "hamming", F.expr("cast(bit_count(dh_a ^ dh_b) as int)")
             )

@@ -307,8 +307,13 @@ def test_stream_image_dedup_flags(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
     state = str(tmp_path / "istate")
     build_image_dedup_state(spark, sf, state)
-    sigs = spark.read.parquet(f"{state}/image_sigs").limit(1).collect()
+    combos = spark.read.parquet(f"{state}/image_combos")
+    sigs = combos.limit(1).collect()
     assert sigs, "corpus must contribute at least one decodable image"
+    # round-6 layout: the stored state is the Manku combo table (35 rows
+    # per image on >= 2^36-key prefixes), not the bounded 16-bit bands
+    n_imgs = combos.select("media_ref").distinct().count()
+    assert combos.count() == 35 * n_imgs
     ref0 = sigs[0]["media_ref"]
 
     from mindocr_spark.data.derive_corpus import derive_corpus

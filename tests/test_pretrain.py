@@ -136,6 +136,28 @@ def test_mixture_weights_fixed_point(spark):
 # --- SemDeDup ----------------------------------------------------------------
 
 
+def _numpy_two_level_cells(X):
+    """Numpy twin of semdedup's two-level assignment (round 6): centroid
+    -> nearest super, vector -> PROBES nearest supers, candidates =
+    probed cells' centroids + the probed supers, nearest candidate wins
+    (dist round 4dp, ties to the lower id throughout)."""
+    k = P._derived_cells(len(X))
+    s = P._ceil_sqrt(k)
+    d2s = ((X[:, None, :] - X[None, :s, :]) ** 2).sum(axis=2).round(4)
+    c2s = d2s[:k].argmin(axis=1)  # argmin takes lowest index on ties
+    order = np.argsort(d2s, axis=1, kind="stable")  # stable = id tie-break
+    probes = order[:, : P.SEMDEDUP_PROBES]
+    cell = np.empty(len(X), dtype=np.int64)
+    n_cand = 0
+    for v in range(len(X)):
+        pv = set(probes[v].tolist())
+        cand = sorted({c for c in range(k) if c2s[c] in pv} | pv)
+        n_cand += len(cand)
+        d = ((X[v] - X[cand]) ** 2).sum(axis=1).round(4)
+        cell[v] = cand[int(d.argmin())]
+    return cell, k, s, n_cand
+
+
 def test_semdedup_matches_numpy_recompute(spark):
     got = P.semdedup(spark, SF).toPandas().sort_values("vec_id", ignore_index=True)
     emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
@@ -143,9 +165,7 @@ def test_semdedup_matches_numpy_recompute(spark):
     )
     X = np.array(emb.embedding.tolist(), dtype=np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
-    cents = X[: P._derived_cells(len(X))]
-    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).round(4)
-    cell = d2.argmin(axis=1)  # argmin takes lowest index on ties
+    cell, _, _, _ = _numpy_two_level_cells(X)
     assert (got.cell.to_numpy() == cell).all()
     cos = np.round((X @ X.T) / np.outer(norms, norms), 4)
     dup_of = {}
@@ -230,15 +250,32 @@ def test_pretrain_plans_no_cartesian(spark, fn):
 
 
 def test_semdedup_plan_shape(spark):
-    # centroid assignment (the one intentional 8-row broadcast NL join) is
-    # persisted and REUSED by all three consumers — the plan must show the
-    # cache scans and a shuffle equi-join for the within-cell pairs, and
-    # never a cartesian product (the BNLJ text recurring under each
-    # InMemoryTableScan is the printed cached subtree, not re-execution)
+    # the only broadcast NL joins are against the ~sqrt(k)-row SUPER
+    # table (round 6 — never the full centroid table); cent2sup and the
+    # assignment are persisted and reused, the cell-candidate and
+    # within-cell joins are shuffle equi-joins, and no cartesian product
+    # exists (the BNLJ text recurring under each InMemoryTableScan is
+    # the printed cached subtree, not re-execution)
     plan = P.semdedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_semdedup_assignment_candidate_volume(spark):
+    """r5 verdict wrong #3 gate: assignment work is N x ~3*sqrt(k)
+    candidates, far below the old N x k crossJoin."""
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    cell, k, s, n_cand = _numpy_two_level_cells(X)
+    n = len(X)
+    # every vector got >= PROBES candidates (totality, no fallback) ...
+    assert n_cand >= n * P.SEMDEDUP_PROBES
+    # ... and the mean candidate count is sqrt(k)-ish, not k-ish
+    assert n_cand / n <= P.SEMDEDUP_PROBES * (k / s) + s
+    assert n_cand / n < k / 2 + P.SEMDEDUP_PROBES + 1
+    # the probed-super union keeps assignment total even at tiny k
+    assert len(set(cell)) <= k
 
 
 # --- corpus-prep job composition --------------------------------------------

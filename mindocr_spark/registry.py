@@ -349,3 +349,142 @@ def _det_labels(min_text_size: int = 8, shrink_ratio: float = 0.4):
         )
 
     return stage
+
+
+@register_stage("east_labels")
+def _east_labels(length: int = 512, scale: float = 0.25):
+    """EAST training-label generation (EASTProcessTrain label core,
+    det_east_transforms.py:350-404) as one mapInPandas stage over
+    (media_ref, polys_json, labels_json) rows — the det_labels
+    checksum-emitting pattern (round 6, r5 verdict missing #4)."""
+    import json
+    from collections.abc import Iterator
+    from functools import partial
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from .kernels.det_label_alt import east_score_geo
+
+    schema = (
+        "media_ref string, n_polys int, n_ignored int, score_pixels long, "
+        "ignored_pixels long, score_hash long, geo_hash long"
+    )
+
+    def it(
+        batches: Iterator[pd.DataFrame], length: int, scale: float
+    ) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                polys = np.array(json.loads(r["polys_json"]), dtype=np.float64)
+                labels = np.array(json.loads(r["labels_json"]))
+                score, geo, ignored = east_score_geo(
+                    polys.reshape(-1, 8) if polys.size else polys.reshape(0, 8),
+                    labels,
+                    length=length,
+                    scale=scale,
+                )
+                rows.append(
+                    {
+                        "media_ref": r["media_ref"],
+                        "n_polys": int(len(labels)),
+                        "n_ignored": int((labels == 0).sum()),
+                        "score_pixels": int(score.sum()),
+                        "ignored_pixels": int(ignored.sum()),
+                        "score_hash": zlib.crc32(score.tobytes()),
+                        "geo_hash": zlib.crc32(
+                            np.round(geo, 4).astype(np.float32).tobytes()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_polys", "n_ignored", "score_pixels",
+                    "ignored_pixels", "score_hash", "geo_hash",
+                ],
+            )
+
+    def stage(df: DataFrame) -> DataFrame:
+        n = df.sparkSession.sparkContext.defaultParallelism * 2
+        return df.repartition(n, F.col("media_ref")).mapInPandas(
+            partial(it, length=length, scale=scale), schema
+        )
+
+    return stage
+
+
+@register_stage("pse_labels")
+def _pse_labels(kernel_num: int = 7, min_shrink_ratio: float = 0.4,
+                min_shortest_edge: int = 640):
+    """PSE training-label generation (PSEGtDecode,
+    det_transforms.py:559-668) as one mapInPandas stage over
+    (media_ref, width, height, polys_json, ignore_json) rows."""
+    import json
+    from collections.abc import Iterator
+    from functools import partial
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from .kernels.det_label_alt import pse_gt_decode
+
+    schema = (
+        "media_ref string, n_polys int, text_pixels long, masked_pixels long, "
+        "kernel_pixels long, text_hash long, kernels_hash long"
+    )
+
+    def it(
+        batches: Iterator[pd.DataFrame], kn: int, msr: float, mse: int
+    ) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                polys = [
+                    np.array(p, dtype=np.float64)
+                    for p in json.loads(r["polys_json"])
+                ]
+                tags = list(json.loads(r["ignore_json"]))
+                out = pse_gt_decode(
+                    (int(r["height"]), int(r["width"])), polys, tags,
+                    kernel_num=kn, min_shrink_ratio=msr,
+                    min_shortest_edge=mse,
+                )
+                rows.append(
+                    {
+                        "media_ref": r["media_ref"],
+                        "n_polys": len(polys),
+                        "text_pixels": int(out["gt_text"].sum()),
+                        "masked_pixels": int((out["mask"] == 0).sum()),
+                        "kernel_pixels": int(out["gt_kernels"].sum()),
+                        "text_hash": zlib.crc32(out["gt_text"].tobytes()),
+                        "kernels_hash": zlib.crc32(
+                            out["gt_kernels"].tobytes()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_polys", "text_pixels", "masked_pixels",
+                    "kernel_pixels", "text_hash", "kernels_hash",
+                ],
+            )
+
+    def stage(df: DataFrame) -> DataFrame:
+        n = df.sparkSession.sparkContext.defaultParallelism * 2
+        return df.repartition(n, F.col("media_ref")).mapInPandas(
+            partial(it, kn=kernel_num, msr=min_shrink_ratio,
+                    mse=min_shortest_edge), schema
+        )
+
+    return stage

@@ -390,6 +390,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ivf_topk": similarity.ivf_topk,
         "stratified_sample": quality.stratified_sample,
+        # round 6 depth (tail: window full at 50): product quantization —
+        # 4-bit codebook encode + ADC top-k, both fully hash-oracled in
+        # exact integer 1e-4 units (locally gated by check_oracles)
+        "pq_codes": similarity.pq_codes,
+        "pq_adc_topk": similarity.pq_adc_topk,
+        # round 6 depth: per-(source, lang) curriculum packing — the
+        # grouped form of sequence_packing, fully oracled (local gate)
+        "sequence_packing_grouped": pretrain.sequence_packing_grouped,
         "ocr_golden_records": _ocr_golden_records,
         "ocr_eval_selftest": _ocr_eval_selftest,
         "media_health": _media_health,
@@ -512,4 +520,8 @@ def oracle_sql() -> dict[str, str]:
         # basis points end to end (no float boundary)
         "table_structure_acc": refmetrics.TABLE_STRUCTURE_ACC_SQL,
         "layout_map": refmetrics.LAYOUT_MAP_SQL,
+        # round 6 depth (tail): PQ encode/ADC + curriculum packing
+        "pq_codes": similarity.PQ_CODES_SQL,
+        "pq_adc_topk": similarity.PQ_ADC_SQL,
+        "sequence_packing_grouped": pretrain.SEQUENCE_PACKING_GROUPED_SQL,
     }

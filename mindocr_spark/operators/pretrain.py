@@ -240,6 +240,79 @@ FROM c
 """
 
 
+def sequence_packing_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing WITHIN each (source, lang) group — the
+    curriculum/mixture form: every group owns its own token axis and
+    sequence numbering, so a dataloader can draw whole sequences from
+    one group at the :func:`mixture_weights` rates without cross-group
+    attention contamination (the grouped twin of
+    :func:`sequence_packing`; round 6 depth).
+
+    Scale shape: the two-phase prefix sum runs PER GROUP — within-bucket
+    windows partition by (source, lang, bucket) and the bucket-totals
+    fold partitions by (source, lang), so the single-partition window
+    that the ungrouped form pays once on N/1024 rows is paid per group
+    on |group|/1024 rows, in parallel across groups."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    d = d.withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_DOCS}"))
+    w_in = Window.partitionBy("source", "lang", "bucket").orderBy("doc_id")
+    d = d.withColumn("local_end", F.sum("n_tokens").over(w_in))
+    totals = d.groupBy("source", "lang", "bucket").agg(
+        F.sum("n_tokens").alias("btot")
+    )
+    w_b = (
+        Window.partitionBy("source", "lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "boffset", F.coalesce(F.sum("btot").over(w_b), F.lit(0).cast("long"))
+    ).select("source", "lang", "bucket", "boffset")
+    j = d.join(F.broadcast(offsets), ["source", "lang", "bucket"])
+    j = j.withColumn(
+        "tok_start", F.col("boffset") + F.col("local_end") - F.col("n_tokens")
+    )
+    return j.select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(tok_start + n_tokens - 1) div {SEQ_LEN}").alias("last_seq"),
+        F.expr(
+            f"cast(((tok_start + n_tokens - 1) div {SEQ_LEN}) - (tok_start div {SEQ_LEN}) as int)"
+        ).alias("n_boundaries_crossed"),
+    )
+
+
+SEQUENCE_PACKING_GROUPED_SQL = f"""
+WITH t AS (
+  SELECT source, lang, doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, lang, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           - n_tokens AS tok_start
+  FROM t
+)
+SELECT source, lang, doc_id, n_tokens, tok_start,
+       (tok_start // {SEQ_LEN})::BIGINT AS first_seq,
+       ((tok_start + n_tokens - 1) // {SEQ_LEN})::BIGINT AS last_seq,
+       (((tok_start + n_tokens - 1) // {SEQ_LEN})
+         - (tok_start // {SEQ_LEN}))::INT AS n_boundaries_crossed
+FROM c
+"""
+
+
 # --- Mixture weights (temperature sampling) ----------------------------------
 
 _SQRT_SCALE = 100_000_000  # 1e8: fixed-point precision for sqrt(share)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_QUERIES = 20
 TOP_K = 3
@@ -811,5 +812,221 @@ SELECT query_id, neighbor_id, qdot, rank::INT AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY qdot DESC, neighbor_id ASC) AS rank
       FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+# --- Product quantization (round 6) ------------------------------------------
+# The next rung past int8 SQ on the ANN memory ladder: 64 float32 dims
+# (256 B) -> PQ_M 4-bit codes (4 B) — the Jegou et al. 2011 PQ scheme
+# every billion-scale ANN deployment (FAISS IVFPQ) runs.  The codebook
+# is the deterministic stand-in rule the IVF/semdedup family already
+# certifies (sub-slices of the first PQ_K vectors stand in for trained
+# k-means centroids — declared, like model_quality_filter's weights);
+# the SERVING arithmetic (nearest-centroid encode, ADC lookup-sum rank)
+# is the real algorithm and is what the oracle certifies.
+
+PQ_M = 8    # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB == EMB_DIM)
+PQ_K = 16   # centroids per subspace -> 4-bit codes
+
+_L2SUB = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(cast(x as double) - cast(y as double)) * "
+    "(cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+)
+_L2SUB_DUCK = (
+    "list_sum([(cast({a}[{o} + i] as double) - cast({b}[i] as double)) * "
+    "(cast({a}[{o} + i] as double) - cast({b}[i] as double)) "
+    "for i in range(1, {n} + 1)])"
+)
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ_M x PQ_K codebook as a 128-row broadcastable frame
+    (sub s, code_id k, carr = vector k's dims [s*8, s*8+8))."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    subs = spark.createDataFrame([(s,) for s in range(PQ_M)], "s int")
+    return cents.crossJoin(F.broadcast(subs)).select(
+        "s",
+        "code_id",
+        F.expr(f"slice(embedding, s * {PQ_SUB} + 1, {PQ_SUB})").alias("carr"),
+    )
+
+
+def _pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, code, units): each vector's nearest codebook entry
+    per subspace (raw-double L2 order — identical IEEE values on both
+    engines, no rounding needed for the argmin — ties to the lower
+    code_id) with the quantization distance in integer 1e-4 units."""
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    exploded = emb.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("s"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, s * {PQ_SUB} + 1, {PQ_SUB})").alias("varr"),
+    )
+    d = exploded.join(F.broadcast(cb), "s").withColumn(
+        "dval", F.expr(_L2SUB.format(a="varr", b="carr"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dval").asc(), F.col("code_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "s",
+            F.col("code_id").alias("code"),
+            F.expr("cast(floor(dval * 10000) as bigint)").alias("units"),
+        )
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector packed PQ code (PQ_M 4-bit nearest-centroid indices in
+    one BIGINT) plus the total quantization distortion in integer 1e-4
+    units — the 4-byte-per-vector memory representation.
+
+    Plan: subspace explode (PQ_M rows/vector) -> broadcast 128-row
+    codebook join -> per-(vector, subspace) rank -> one groupBy(vec_id)
+    pack.  Stateless maps + map-side-combinable aggregation; at 10^12
+    vectors everything streams."""
+    codes = _pq_code_table(spark, sf_dir)
+    return codes.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(cast(code as bigint), 4 * s)")).alias(
+            "pq_code"
+        ),
+        F.sum("units").cast("long").alias("distortion_units"),
+    )
+
+
+PQ_CODES_SQL = f"""
+WITH cb AS (
+  SELECT u.s, e.vec_id AS code_id,
+         [e.embedding[u.s * {PQ_SUB} + i] for i in range(1, {PQ_SUB} + 1)] AS carr
+  FROM embeddings e, unnest(range(0, {PQ_M})) AS u(s)
+  WHERE e.vec_id < {PQ_K}
+),
+d AS (
+  SELECT e.vec_id, u.s, c.code_id,
+         {_L2SUB_DUCK.format(a='e.embedding', b='c.carr', o='u.s * ' + str(PQ_SUB), n=PQ_SUB)} AS dval
+  FROM embeddings e, unnest(range(0, {PQ_M})) AS u(s)
+  JOIN cb c ON c.s = u.s
+),
+codes AS (
+  SELECT vec_id, s, code_id AS code, floor(dval * 10000)::BIGINT AS units
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dval ASC, code_id ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       sum(code::BIGINT << (4 * s))::BIGINT AS pq_code,
+       sum(units)::BIGINT AS distortion_units
+FROM codes
+GROUP BY vec_id
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ codes (the IVFPQ serving
+    kernel minus the IVF prefilter, which ``ivf_topk``/``semdedup``
+    already certify): each query precomputes its PQ_M x PQ_K lookup
+    table of subspace distances (raw query vs codebook — asymmetric),
+    and a candidate's ADC distance is the sum of PQ_M table lookups on
+    its codes, in exact integer 1e-4 units (floor per entry, integer
+    sum — no cross-engine float accumulation anywhere).
+
+    Plan: the code table (PQ_M rows/vector) equi-joins the broadcast
+    N_QUERIES x PQ_M x PQ_K lookup table on (s, code) and folds with a
+    map-side-combinable groupBy(query, vec) sum — per vector the join
+    fans out to PQ_M x N_QUERIES rows regardless of corpus size."""
+    codes = _pq_code_table(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "s",
+            F.col("code_id").alias("code"),
+            F.expr(
+                "cast(floor("
+                + _L2SUB.format(
+                    a=f"slice(embedding, s * {PQ_SUB} + 1, {PQ_SUB})", b="carr"
+                )
+                + " * 10000) as bigint)"
+            ).alias("lunits"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lunits").cast("long").alias("adc_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_units").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_units",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+PQ_ADC_SQL = f"""
+WITH cb AS (
+  SELECT u.s, e.vec_id AS code_id,
+         [e.embedding[u.s * {PQ_SUB} + i] for i in range(1, {PQ_SUB} + 1)] AS carr
+  FROM embeddings e, unnest(range(0, {PQ_M})) AS u(s)
+  WHERE e.vec_id < {PQ_K}
+),
+d AS (
+  SELECT e.vec_id, u.s, c.code_id,
+         {_L2SUB_DUCK.format(a='e.embedding', b='c.carr', o='u.s * ' + str(PQ_SUB), n=PQ_SUB)} AS dval
+  FROM embeddings e, unnest(range(0, {PQ_M})) AS u(s)
+  JOIN cb c ON c.s = u.s
+),
+codes AS (
+  SELECT vec_id, s, code_id AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dval ASC, code_id ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code_id AS code,
+         floor({_L2SUB_DUCK.format(a='q.embedding', b='c.carr', o='c.s * ' + str(PQ_SUB), n=PQ_SUB)} * 10000)::BIGINT AS lunits
+  FROM embeddings q JOIN cb c ON true
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id, sum(l.lunits)::BIGINT AS adc_units
+  FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY l.query_id, cd.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, adc_units, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_units ASC, vec_id ASC) AS rank
+      FROM adc)
 WHERE rank <= {TOP_K}
 """

@@ -755,3 +755,103 @@ def test_bpe_encode_depth_independent_at_200_merges(spark):
     # merges compress: some words got shorter, none got longer
     assert any(got[w] < len(w) for w in got)
     assert all(got[w] <= len(w) for w in got)
+
+
+# --- Product quantization (round 6 depth) ------------------------------------
+
+
+def _numpy_pq(X):
+    """Numpy twin of the PQ codebook/encode (similarity.pq_codes)."""
+    from mindocr_spark.operators import similarity as S
+
+    M, SUB, K = S.PQ_M, S.PQ_SUB, S.PQ_K
+    cb = np.stack([X[:K, s * SUB : (s + 1) * SUB] for s in range(M)])  # (M,K,SUB)
+    codes = np.empty((len(X), M), dtype=np.int64)
+    dist_units = np.zeros(len(X), dtype=np.int64)
+    lut_d = np.empty((len(X), M, K))
+    for s in range(M):
+        sub = X[:, s * SUB : (s + 1) * SUB]
+        d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        lut_d[:, s, :] = d
+        codes[:, s] = d.argmin(axis=1)  # lowest index on ties
+        dist_units += np.floor(d[np.arange(len(X)), codes[:, s]] * 10000).astype(
+            np.int64
+        )
+    packed = (codes << (4 * np.arange(M))[None, :]).sum(axis=1)
+    return codes, packed, dist_units, np.floor(lut_d * 10000).astype(np.int64)
+
+
+def test_pq_codes_match_numpy(spark):
+    from mindocr_spark.operators import similarity as S
+
+    got = (
+        S.pq_codes(spark, SF).toPandas().sort_values("vec_id", ignore_index=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    _, packed, dist_units, _ = _numpy_pq(X)
+    assert (got.pq_code.to_numpy() == packed).all()
+    assert (got.distortion_units.to_numpy() == dist_units).all()
+    # a codebook vector reconstructs itself exactly in every subspace
+    assert dist_units[: S.PQ_K].max() == 0
+
+
+def test_pq_adc_topk_matches_numpy(spark):
+    from mindocr_spark.operators import similarity as S
+
+    got = (
+        S.pq_adc_topk(spark, SF)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    codes, _, _, lut = _numpy_pq(X)
+    n = len(X)
+    rows = []
+    for q in range(S.N_QUERIES):
+        adc = lut[q, np.arange(S.PQ_M)[None, :], codes].sum(axis=1)
+        order = sorted((int(adc[v]), v) for v in range(n) if v != q)
+        for r, (u, v) in enumerate(order[: S.TOP_K], 1):
+            rows.append((q, v, u, r))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "adc_units", "rank"]
+    )
+    assert (
+        got[["query_id", "neighbor_id", "adc_units", "rank"]]
+        .astype("int64")
+        .equals(want.astype("int64"))
+    )
+    assert (got.groupby("query_id").size() == S.TOP_K).all()
+    assert (got.neighbor_id != got.query_id).all()
+
+
+# --- per-(source, lang) curriculum packing (round 6 depth) -------------------
+
+
+def test_sequence_packing_grouped_property(spark):
+    got = P.sequence_packing_grouped(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want_tokens = {
+        r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()
+    }
+    assert len(got) == len(docs)
+    for (_, _), g in got.groupby(["source", "lang"]):
+        g = g.sort_values("doc_id")
+        # each group owns its own contiguous token axis from 0
+        assert g.tok_start.iloc[0] == 0
+        assert (
+            g.tok_start.to_numpy()[1:]
+            == (g.tok_start + g.n_tokens).to_numpy()[:-1]
+        ).all()
+        assert (g.n_tokens.to_numpy() == [
+            want_tokens[d] for d in g.doc_id
+        ]).all()
+        assert (g.first_seq == g.tok_start // P.SEQ_LEN).all()
+        assert (
+            g.last_seq == (g.tok_start + g.n_tokens - 1) // P.SEQ_LEN
+        ).all()

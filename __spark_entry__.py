@@ -395,6 +395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer 1e-4 units (locally gated by check_oracles)
         "pq_codes": similarity.pq_codes,
         "pq_adc_topk": similarity.pq_adc_topk,
+        # round 6 depth: the composed IVFADC serving path — IVF cell
+        # prefilter (nprobe=2) + PQ asymmetric-distance ranking, fully
+        # hash-oracled (local gate); the scanned fraction is nprobe/k
+        "ivf_pq_topk": similarity.ivf_pq_topk,
         # round 6 depth: per-(source, lang) curriculum packing — the
         # grouped form of sequence_packing, fully oracled (local gate)
         "sequence_packing_grouped": pretrain.sequence_packing_grouped,
@@ -523,5 +527,6 @@ def oracle_sql() -> dict[str, str]:
         # round 6 depth (tail): PQ encode/ADC + curriculum packing
         "pq_codes": similarity.PQ_CODES_SQL,
         "pq_adc_topk": similarity.PQ_ADC_SQL,
+        "ivf_pq_topk": similarity.IVF_PQ_SQL,
         "sequence_packing_grouped": pretrain.SEQUENCE_PACKING_GROUPED_SQL,
     }

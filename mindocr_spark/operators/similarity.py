@@ -992,6 +992,102 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_PQ_PROBE = 2
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed FAISS-style serving path (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", IVFPQ with
+    by_residual off): the IVF coarse quantizer prefilters each query to
+    its ``N_IVF_PQ_PROBE`` nearest cells, and PQ asymmetric distance
+    (the ``pq_adc_topk`` kernel) ranks only those candidates, in exact
+    integer 1e-4 units.
+
+    This is the piece neither ``ivf_topk`` (exact rerank, 1 probed
+    cell) nor ``pq_adc_topk`` (ADC over the FULL corpus) exercises: the
+    candidate set is the union of probed cells, so the scanned fraction
+    is nprobe/k and the per-candidate cost is PQ_M table lookups — the
+    IVFADC cost model exactly.
+
+    Plan: one broadcast nested-loop against the 8-row centroid table
+    assigns cells map-side (same round-4dp / lower-id tie rule the
+    certified ``ivf_topk``/``semdedup`` use); queries keep their nprobe
+    best cells; candidates come from a cell equi-join (shuffle on the
+    cell key, never all-pairs); the code table fans out PQ_M rows per
+    candidate and equi-joins the broadcast query LUT on
+    (query_id, s, code); the ADC fold is a map-side-combinable integer
+    sum, then a bounded per-query top-k window. At 10^12 vectors every
+    join is either broadcast or keyed on a high-cardinality column.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, ce, (x, y) -> "
+                "(cast(x as double) - cast(y as double)) * "
+                "(cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v)"
+            ),
+            4,
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cent_id").asc()
+    )
+    ranked = dists.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    q_probe = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_IVF_PQ_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+
+    codes = _pq_code_table(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "s",
+        F.col("code_id").alias("code"),
+        F.expr(
+            "cast(floor("
+            + _L2SUB.format(
+                a=f"slice(embedding, s * {PQ_SUB} + 1, {PQ_SUB})", b="carr"
+            )
+            + " * 10000) as bigint)"
+        ).alias("lunits"),
+    )
+    cand = (
+        assigned.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lunits").cast("long").alias("adc_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_units").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_units",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 PQ_ADC_SQL = f"""
 WITH cb AS (
   SELECT u.s, e.vec_id AS code_id,
@@ -1023,6 +1119,68 @@ adc AS (
   FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
   WHERE cd.vec_id != l.query_id
   GROUP BY l.query_id, cd.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, adc_units, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_units ASC, vec_id ASC) AS rank
+      FROM adc)
+WHERE rank <= {TOP_K}
+"""
+
+IVF_PQ_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {N_IVF_CENTROIDS}
+),
+ranked AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_L2_DUCK.format(a='e.embedding', b='c.ce')}, 4) ASC,
+                    c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+  WHERE vec_id < {N_QUERIES} AND rn <= {N_IVF_PQ_PROBE}
+),
+cb AS (
+  SELECT u.s, e.vec_id AS code_id,
+         [e.embedding[u.s * {PQ_SUB} + i] for i in range(1, {PQ_SUB} + 1)] AS carr
+  FROM embeddings e, unnest(range(0, {PQ_M})) AS u(s)
+  WHERE e.vec_id < {PQ_K}
+),
+d AS (
+  SELECT e.vec_id, u.s, c.code_id,
+         {_L2SUB_DUCK.format(a='e.embedding', b='c.carr', o='u.s * ' + str(PQ_SUB), n=PQ_SUB)} AS dval
+  FROM embeddings e, unnest(range(0, {PQ_M})) AS u(s)
+  JOIN cb c ON c.s = u.s
+),
+codes AS (
+  SELECT vec_id, s, code_id AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dval ASC, code_id ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code_id AS code,
+         floor({_L2SUB_DUCK.format(a='q.embedding', b='c.carr', o='c.s * ' + str(PQ_SUB), n=PQ_SUB)} * 10000)::BIGINT AS lunits
+  FROM embeddings q JOIN cb c ON true
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probe p ON p.cell = a.cell
+  WHERE a.vec_id != p.query_id
+),
+adc AS (
+  SELECT cd.query_id, cd.vec_id, sum(l.lunits)::BIGINT AS adc_units
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.s = co.s AND l.code = co.code
+  GROUP BY cd.query_id, cd.vec_id
 )
 SELECT query_id, vec_id AS neighbor_id, adc_units, rank::INT AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -121,3 +121,16 @@ def test_lsh_bucket_projection_parallel(spark):
     cand = _lsh_candidates(_with_norm(_emb(spark, SF)))
     plan = _plan(cand)
     assert "Exchange hashpartitioning(vec_id" in plan, plan[:2000]
+
+
+def test_ivf_pq_topk_broadcasts_and_no_cartesian(spark):
+    """IVFADC: the probe table and the query LUT must broadcast (two
+    BroadcastHashJoins — cell prefilter + (query, s, code) ADC lookup);
+    the only nested-loop joins allowed are the tiny broadcast ones
+    against the 8-row centroid / 128-row codebook tables, never a real
+    CartesianProduct over corpus-sized inputs."""
+    from mindocr_spark.operators.similarity import ivf_pq_topk
+
+    plan = _plan(ivf_pq_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]

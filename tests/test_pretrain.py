@@ -830,6 +830,48 @@ def test_pq_adc_topk_matches_numpy(spark):
     assert (got.neighbor_id != got.query_id).all()
 
 
+def test_ivf_pq_topk_matches_numpy(spark):
+    """IVFADC = IVF prefilter (round-4dp L2, lower-id ties, nprobe cells)
+    + ADC rank inside the probed cells only — verified against an
+    independent numpy twin, and shown to genuinely prune (at least one
+    query's candidate set is a strict subset of the corpus)."""
+    from mindocr_spark.operators import similarity as S
+
+    got = (
+        S.ivf_pq_topk(spark, SF)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    codes, _, _, lut = _numpy_pq(X)
+    C = X[: S.N_IVF_CENTROIDS]
+    d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 4)
+    cell = d.argmin(axis=1)  # argmin takes the first (lowest) id on ties
+    n = len(X)
+    rows = []
+    pruned_any = False
+    for q in range(S.N_QUERIES):
+        probes = set(np.argsort(d[q], kind="stable")[: S.N_IVF_PQ_PROBE])
+        cand = [v for v in range(n) if v != q and cell[v] in probes]
+        pruned_any = pruned_any or len(cand) < n - 1
+        adc = lut[q, np.arange(S.PQ_M)[None, :], codes[cand]].sum(axis=1)
+        order = sorted((int(u), v) for u, v in zip(adc, cand))
+        for r, (u, v) in enumerate(order[: S.TOP_K], 1):
+            rows.append((q, v, u, r))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "adc_units", "rank"]
+    )
+    assert pruned_any
+    assert (
+        got[["query_id", "neighbor_id", "adc_units", "rank"]]
+        .astype("int64")
+        .equals(want.astype("int64"))
+    )
+
+
 # --- per-(source, lang) curriculum packing (round 6 depth) -------------------
 
 

@@ -399,6 +399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefilter (nprobe=2) + PQ asymmetric-distance ranking, fully
         # hash-oracled (local gate); the scanned fraction is nprobe/k
         "ivf_pq_topk": similarity.ivf_pq_topk,
+        # round 6 depth: the ANN recall scoreboard — every approximate
+        # method's top-1 graded against exact cosine top-3 in basis
+        # points; the oracle embeds each method's certified SQL
+        "ann_recall_report": similarity.ann_recall_report,
         # round 6 depth: per-(source, lang) curriculum packing — the
         # grouped form of sequence_packing, fully oracled (local gate)
         "sequence_packing_grouped": pretrain.sequence_packing_grouped,
@@ -528,5 +532,6 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": similarity.PQ_CODES_SQL,
         "pq_adc_topk": similarity.PQ_ADC_SQL,
         "ivf_pq_topk": similarity.IVF_PQ_SQL,
+        "ann_recall_report": similarity.ANN_RECALL_SQL,
         "sequence_packing_grouped": pretrain.SEQUENCE_PACKING_GROUPED_SQL,
     }

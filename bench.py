@@ -49,6 +49,9 @@ HEADLINE = [
     "intra_doc_dedup",
     "bpe_merge_candidates",
     "image_near_dup",
+    # round 6 depth: the PQ serving pair (full-corpus ADC + IVFADC)
+    "pq_adc_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -131,9 +134,23 @@ def _quiet_stop(spark) -> None:
     timed stage is complete) — the late merge can only belong to an
     already-measured stage's stragglers, never to unmeasured work.
     Raising the log level to FATAL for the teardown makes the silence
-    deliberate and scoped; all timing-path logging ran at ERROR."""
+    deliberate and scoped; all timing-path logging ran at ERROR.
+
+    Round 6 root-cause addendum: the trace survived the FATAL level
+    because log4j state is JVM-GLOBAL in local mode — the NEXT bench
+    session's setLogLevel("ERROR") re-enables logging while the OLD
+    context's DAGScheduler event loop is still draining its last
+    end-of-stage accumulator updates against the torn-down socket. Two
+    short drains close the window: one before stop() (lets queued task
+    events flush through the still-alive accumulator server — removing
+    the race, not just the log line) and one after (so a successor
+    session cannot re-raise the level under the dying loop)."""
+    import time as _time
+
     spark.sparkContext.setLogLevel("FATAL")
+    _time.sleep(0.5)
     spark.stop()
+    _time.sleep(1.0)
 
 
 def _run_suite(sf_dir: str, cpus: int) -> tuple[dict[str, float], int]:

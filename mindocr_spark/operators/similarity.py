@@ -1127,6 +1127,70 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {TOP_K}
 """
 
+ANN_RECALL_METHODS = (
+    "ann_lsh_topk",
+    "ivf_topk",
+    "ann_quantized_topk",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall scoreboard for the ANN family — "recall is a managed
+    contract" as a measured artifact, not an assertion: for each
+    approximate method, the fraction of queries whose top-1 answer lands
+    in the EXACT cosine top-3 (``cosine_topk``), in integer basis points.
+
+    A method can also return NO row for a query (an LSH bucket holding
+    only the query itself); that counts as a miss — the denominator is
+    always N_QUERIES. All five methods recompute end-to-end (this is a
+    correctness surface, not a bench query) and the DuckDB oracle embeds
+    each method's full certified SQL as a subquery, so the scoreboard is
+    hash-certified against the same engine-exact constructions.
+
+    At scale every input here is a per-query top-1 (N_QUERIES rows per
+    method) against a broadcast exact set — the report costs whatever
+    the underlying searches cost; the comparison itself is trivial.
+    """
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    top1 = {
+        "ann_lsh_topk": ann_lsh_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        "ivf_topk": ivf_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        "ann_quantized_topk": ann_quantized_topk(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id"),
+        "pq_adc_topk": pq_adc_topk(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id"),
+        "ivf_pq_topk": ivf_pq_topk(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id"),
+    }
+    tagged = None
+    for name in ANN_RECALL_METHODS:
+        part = top1[name].withColumn("method", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    hits = (
+        tagged.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    base = spark.createDataFrame(
+        [(m,) for m in ANN_RECALL_METHODS], "method string"
+    )
+    return base.join(hits, "method", "left").select(
+        "method",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.expr(
+            f"cast(coalesce(hits, 0L) * 10000 div {N_QUERIES} as bigint)"
+        ).alias("recall_bp"),
+    )
+
+
 IVF_PQ_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
@@ -1187,4 +1251,33 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_units ASC, vec_id ASC) AS rank
       FROM adc)
 WHERE rank <= {TOP_K}
+"""
+
+ANN_RECALL_SQL = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})),
+lsh1 AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_SQL})),
+ivf1 AS (SELECT query_id, neighbor_id FROM ({IVF_TOPK_SQL})),
+sq1 AS (SELECT query_id, neighbor_id FROM ({ANN_QUANTIZED_SQL}) WHERE rank = 1),
+padc1 AS (SELECT query_id, neighbor_id FROM ({PQ_ADC_SQL}) WHERE rank = 1),
+ivfpq1 AS (SELECT query_id, neighbor_id FROM ({IVF_PQ_SQL}) WHERE rank = 1),
+tagged AS (
+  SELECT 'ann_lsh_topk' AS method, query_id, neighbor_id FROM lsh1
+  UNION ALL SELECT 'ivf_topk', query_id, neighbor_id FROM ivf1
+  UNION ALL SELECT 'ann_quantized_topk', query_id, neighbor_id FROM sq1
+  UNION ALL SELECT 'pq_adc_topk', query_id, neighbor_id FROM padc1
+  UNION ALL SELECT 'ivf_pq_topk', query_id, neighbor_id FROM ivfpq1
+),
+hits AS (
+  SELECT method, count(*)::BIGINT AS hits
+  FROM tagged t
+  WHERE EXISTS (SELECT 1 FROM exact e
+                WHERE e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id)
+  GROUP BY method
+),
+methods AS (SELECT * FROM (VALUES ('ann_lsh_topk'), ('ivf_topk'),
+  ('ann_quantized_topk'), ('pq_adc_topk'), ('ivf_pq_topk')) v(method))
+SELECT m.method, coalesce(h.hits, 0)::BIGINT AS hits,
+       {N_QUERIES}::BIGINT AS n_queries,
+       ((coalesce(h.hits, 0) * 10000) // {N_QUERIES})::BIGINT AS recall_bp
+FROM methods m LEFT JOIN hits h ON h.method = m.method
 """

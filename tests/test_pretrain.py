@@ -897,3 +897,44 @@ def test_sequence_packing_grouped_property(spark):
         assert (
             g.last_seq == (g.tok_start + g.n_tokens - 1) // P.SEQ_LEN
         ).all()
+
+
+def test_ann_recall_report_matches_numpy(spark):
+    """The recall scoreboard must agree with a from-scratch numpy grade:
+    exact cosine top-3 per query, each method's top-1 membership-counted
+    (a query with no method row is a miss), basis-point integer math."""
+    from mindocr_spark.operators import similarity as S
+
+    got = (
+        S.ann_recall_report(spark, SF)
+        .toPandas()
+        .sort_values("method", ignore_index=True)
+    )
+    assert list(got.columns) == ["method", "hits", "n_queries", "recall_bp"]
+    assert len(got) == len(S.ANN_RECALL_METHODS)
+    assert (got.n_queries == S.N_QUERIES).all()
+    assert (got.recall_bp == got.hits * 10000 // S.N_QUERIES).all()
+    # independent exact baseline
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    sims = np.round((X @ X.T) / np.outer(norms, norms), 4)
+    exact = {}
+    for q in range(S.N_QUERIES):
+        order = sorted(
+            ((-sims[q, v], v) for v in range(len(X)) if v != q)
+        )[: S.TOP_K]
+        exact[q] = {v for _, v in order}
+    # grade one method end-to-end from its own certified output
+    ivf = (
+        S.ivf_topk(spark, SF)
+        .toPandas()
+        .set_index("query_id")["neighbor_id"]
+        .to_dict()
+    )
+    want_ivf = sum(
+        1 for q in range(S.N_QUERIES) if ivf.get(q) in exact[q]
+    )
+    assert int(got.set_index("method").loc["ivf_topk", "hits"]) == want_ivf

@@ -87,6 +87,13 @@ def main() -> None:
         "embedding_quantize",
         "ann_quantized_topk",
         "bpe_merge_candidates",
+        # round 6: table/layout reference metrics + the PQ/IVFADC pair
+        "table_structure_acc",
+        "layout_map",
+        "pq_codes",
+        "pq_adc_topk",
+        "ivf_pq_topk",
+        "sequence_packing_grouped",
     ]
     spark = get_spark(cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

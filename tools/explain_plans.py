@@ -7,12 +7,14 @@ import sys
 
 sys.path.insert(0, ".")
 
-PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 5)
+PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 6)
 
-Plan-quality notes: the only BroadcastNestedLoopJoin in this file is
-cosine_topk's — intentional: the exact brute-force baseline broadcasts the
-tiny query set and streams the corpus (linear in N, no shuffle of the
-corpus). The production near-dup operators (simhash_near_dup_banded,
+Plan-quality notes: every BroadcastNestedLoopJoin in this file has a
+broadcast tiny side — cosine_topk's query set (intentional: the exact
+brute-force baseline broadcasts the queries and streams the corpus,
+linear in N, no corpus shuffle) and, from round 6, the <=128-row
+centroid/codebook/subspace tables of the PQ family (see the round-6
+paragraph below). The production near-dup operators (simhash_near_dup_banded,
 simhash64_near_dup, embedding_near_dup_lsh, ngram_jaccard_filtered,
 minhash_lsh_pairs*) are pure equi-join/aggregate plans — no
 CartesianProduct, no nested loop (asserted by tests/test_dedup_banded.py
@@ -48,6 +50,21 @@ exchange-free aggregate, zero joins. Late round-5 minhash change: the
 verify stage no longer shows the sizes aggregate or its two doc-keyed
 joins — per-doc shingle counts ride the minhash aggregate and reach the
 verify filter attached to each candidate pair.
+
+Round-6 additions: table_structure_acc / layout_map are pure
+Catalyst metric aggregates (integer basis points, the det_metric_prf
+pattern — grouped joins + single-row composition). pq_codes is a
+subspace explode -> broadcast 128-row codebook BroadcastNestedLoopJoin
+-> per-(vec, s) window argmin -> one pack aggregate; pq_adc_topk adds
+the broadcast (query, s, code) LUT equi-join and a map-side-combinable
+integer sum; ivf_pq_topk composes the IVF cell assignment (8-row
+broadcast NL + per-vec window) with the same ADC lookup join — every
+nested-loop join in those plans is against a <=128-row broadcast
+(centroids / codebook / subspace ids), never corpus x corpus, and the
+candidate prefilter is a broadcast cell equi-join.
+sequence_packing_grouped shows the per-(source, lang) variant of the
+two-phase prefix sum: the grouped bucket-totals window replaces the
+single-partition global one.
 """
 
 

@@ -31,12 +31,27 @@ def _pin_blas_threads() -> None:
         os.environ.setdefault(var, "1")
 
 
+def _export_pkg_pythonpath() -> None:
+    """Make the package root importable in python WORKERS regardless of the
+    driver's cwd: the JVM passes the driver process's PYTHONPATH env through
+    to every worker, and the round-7 daemon shim
+    (``spark.python.daemon.module=mindocr_spark.spark_daemon``) must be
+    importable there before any task runs."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
+
 def get_spark(
     app_name: str = "mindocr_spark",
     cores: int | None = None,
     shuffle_partitions: int = SHUFFLE_PARTITIONS,
 ) -> SparkSession:
     _pin_blas_threads()
+    _export_pkg_pythonpath()
     master = None
     if cores is not None:
         master = f"local[{cores}]"
@@ -56,6 +71,17 @@ def get_spark(
         )
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Round 7: python workers boot through our daemon shim, which
+        # backports CPython 3.12's zipimport.invalidate_caches mtime check
+        # (gh-87382). Without it, EVERY task's setup_spark_files re-parses
+        # the pyspark.zip central directory — measured 160 ms of worker CPU
+        # per task, the largest single per-task cost in every Python stage
+        # (see mindocr_spark/spark_daemon.py and OPTIMIZATION_r07.md).
+        # Overridable for stock behavior via MINDOCR_PYTHON_DAEMON=pyspark.daemon.
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get("MINDOCR_PYTHON_DAEMON", "mindocr_spark.spark_daemon"),
+        )
     )
     if master:
         builder = builder.master(master)

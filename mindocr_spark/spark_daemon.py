@@ -1,0 +1,76 @@
+"""Python-worker daemon entry with the CPython 3.12 zipimport fix
+backported (round 7 optimization).
+
+Every PySpark task calls ``importlib.invalidate_caches()`` in the worker
+(``pyspark/worker_util.py:setup_spark_files``).  On Python < 3.12,
+``zipimport.zipimporter.invalidate_caches`` re-reads the ENTIRE zip
+central directory unconditionally (``zipimport.py`` 3.11: ``self._files =
+_read_directory(self.archive)``), and the worker's ``sys.path`` carries
+``pyspark.zip`` (~30 MB, thousands of entries) plus the py4j zip — so
+every task burned ~160 ms of pure worker CPU re-parsing zip directories
+that never change (measured on this box: median 159.5 ms/task, the
+single largest per-task cost in every mapInPandas stage; see
+OPTIMIZATION_r07.md).
+
+CPython 3.12 fixed exactly this (gh-87382: "zipimport.invalidate_caches
+only invalidates when the archive mtime changes").  This module backports
+that behavior for the worker processes of THIS engine's sessions: the
+re-read is skipped while the archive's ``(size, mtime_ns)`` stat is
+unchanged, and still happens when the archive actually changes (the
+correctness contract of ``invalidate_caches`` — e.g. ``addPyFile`` of an
+updated zip — is preserved).  Scoped via ``spark.python.daemon.module``
+(`session.get_spark`), so only this engine's workers see it; the patch is
+process-local and forks down to every reused worker.
+
+The daemon then delegates to the stock ``pyspark.daemon.manager`` — no
+other behavior changes.
+"""
+
+from __future__ import annotations
+
+import os
+import zipimport
+
+_orig_invalidate = zipimport.zipimporter.invalidate_caches
+# archive path -> (size, mtime_ns) at the time its directory was last read
+_archive_stats: dict[str, tuple[int, int]] = {}
+
+
+def _stat_key(path: str) -> tuple[int, int] | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_size, st.st_mtime_ns)
+
+
+def _invalidate_if_changed(self: zipimport.zipimporter) -> None:
+    key = _stat_key(self.archive)
+    if key is not None and _archive_stats.get(self.archive) == key:
+        return  # archive unchanged since the last directory read: no-op
+    _orig_invalidate(self)
+    if key is not None:
+        _archive_stats[self.archive] = key
+
+
+def _prime() -> None:
+    """Run one REAL invalidation per already-cached archive in the daemon
+    (pre-fork), so every forked worker inherits a warm memo and pays zero
+    zip-directory re-reads per task."""
+    import sys
+
+    for path, finder in list(sys.path_importer_cache.items()):
+        if isinstance(finder, zipimport.zipimporter):
+            _invalidate_if_changed(finder)
+
+
+zipimport.zipimporter.invalidate_caches = _invalidate_if_changed  # type: ignore[method-assign]
+
+
+if __name__ == "__main__":
+    from pyspark.daemon import manager
+
+    # pyspark (and py4j) are now imported, so their zip finders exist:
+    # prime the memo pre-fork so every worker inherits it warm
+    _prime()
+    manager()

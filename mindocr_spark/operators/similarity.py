@@ -876,17 +876,21 @@ def _pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = exploded.join(F.broadcast(cb), "s").withColumn(
         "dval", F.expr(_L2SUB.format(a="varr", b="carr"))
     )
-    w = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("dval").asc(), F.col("code_id").asc()
-    )
+    # argmin per (vec_id, s) as min(struct(dval, code_id)) — lexicographic
+    # struct ordering IS "order by dval asc, code_id asc pick first" (the
+    # r6 tie rule, unchanged; dval is a non-null arithmetic double). Round 7
+    # rewrite of the row_number window (guide §2.3-2.4): the aggregate is
+    # map-side combinable, so the PQ_K-way candidate fan-out collapses to
+    # PQ_M partial rows per vector BEFORE the exchange, and the window's
+    # full N×PQ_M×PQ_K shuffle+sort disappears.
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        d.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dval", "code_id")).alias("m"))
         .select(
             "vec_id",
             "s",
-            F.col("code_id").alias("code"),
-            F.expr("cast(floor(dval * 10000) as bigint)").alias("units"),
+            F.col("m.code_id").alias("code"),
+            F.expr("cast(floor(m.dval * 10000) as bigint)").alias("units"),
         )
     )
 
@@ -1034,16 +1038,26 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+    # round 7 (guide §2.3-2.4): corpus-side cell assignment as a map-side-
+    # combinable argmin aggregate — min(struct(dist, cent_id)) IS the
+    # "order by dist asc, cent_id asc pick first" tie rule, so the full
+    # N×k rank window (shuffle + sort of every candidate row) is gone;
+    # only the ≤N_QUERIES probe rows still rank through a window, after
+    # the query filter bounds its input to N_QUERIES×k rows.
+    assigned = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cent_id")).alias("m"))
+        .select("vec_id", F.col("m.cent_id").alias("cell"))
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("dist").asc(), F.col("cent_id").asc()
     )
-    ranked = dists.withColumn("rn", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
+    q_probe = (
+        dists.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_IVF_PQ_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
-    q_probe = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_IVF_PQ_PROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
 
     codes = _pq_code_table(spark, sf_dir)
     cb = _pq_codebook(spark, sf_dir)

@@ -216,20 +216,36 @@ def _media_side(media: DataFrame) -> DataFrame:
     )
 
 
+def _join_media_spread(media_spans: DataFrame, media: DataFrame) -> DataFrame:
+    """LEFT-join media payloads onto spans with the CPU-spread partitioning
+    established on the NARROW side (round 7, guide §2.3/§8: project before
+    the exchange — the old join→repartition order shuffled every image blob
+    to spread the python stage; repartitioning the 3-column span keys first
+    moves ~100 KB instead, and the join attaches the payloads in place).
+
+    The join output keeps the stream side's hash(media_ref, 2×slots)
+    partitioning under the local broadcast plan, and under a sort-merge
+    plan (media side too big to broadcast at scale) both sides align on
+    media_ref with ≥ the spans side's partition count — either way the
+    downstream mapInPandas sees ≥ 2×slots media_ref-keyed partitions (the
+    CLAUDE.md CPU-spread invariant; plan-gated in test_plan_quality).
+
+    LEFT join: a span whose media_ref is absent from the media table must
+    still produce an (empty-text) output span, like an unreadable image
+    (decode_node.py:30-42 skip semantics)."""
+    spread = media_spans.repartition(_cpu_partitions(media_spans), "media_ref")
+    return spread.join(_media_side(media), "media_ref", "left")
+
+
 def _media_texts_fused(media_spans: DataFrame, media: DataFrame) -> DataFrame:
-    # LEFT join: a span whose media_ref is absent from the media table must
-    # still produce an (empty-text) output span, like an unreadable image
-    # (decode_node.py:30-42 skip semantics)
-    joined = media_spans.join(_media_side(media), "media_ref", "left")
-    joined = joined.repartition(_cpu_partitions(joined), "media_ref")
+    joined = _join_media_spread(media_spans, media)
     return joined.select(
         "doc_id", "offset", "media_ref", "image", "profile"
     ).mapInPandas(ocr_fused_iter, FUSED_SCHEMA)
 
 
 def _media_texts_exploded(media_spans: DataFrame, media: DataFrame) -> DataFrame:
-    joined = media_spans.join(_media_side(media), "media_ref", "left")
-    joined = joined.repartition(_cpu_partitions(joined), "media_ref")
+    joined = _join_media_spread(media_spans, media)
     crops = joined.select(
         "doc_id", "offset", "media_ref", "image", "profile"
     ).mapInPandas(det_crops_iter, DET_CROPS_SCHEMA)

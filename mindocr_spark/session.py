@@ -83,6 +83,14 @@ def get_spark(
             os.environ.get("MINDOCR_PYTHON_DAEMON", "mindocr_spark.spark_daemon"),
         )
     )
+    # scale/deploy-specific overrides without code changes (e.g. a cluster
+    # points MINDOCR_SPARK_EXTRA_CONF at its shuffle/io/codegen settings);
+    # ';'-separated key=value pairs, applied last so they win
+    extra = os.environ.get("MINDOCR_SPARK_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     if master:
         builder = builder.master(master)
     else:

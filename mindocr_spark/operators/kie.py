@@ -226,14 +226,64 @@ def ser_seqeval_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE a chunk interrupted by a class flip contributes its fragments,
     exactly as seqeval scores a real token classifier's output."""
+    # Round 7 single-pass restructure (guide §2.3-2.4; result and oracle
+    # SQL unchanged, hash-verified): the old form evaluated the token
+    # table + BIO windows once per aggregate branch (pred twice, gt twice
+    # — four window chains), then three single-row joins.  Both sides now
+    # explode into (side, cls, prefix) rows and run ONE window chain
+    # partitioned by (doc_id, side) — satisfied by ser_tokens' existing
+    # hash(doc_id) clustering, so no new exchange — and tp/n_pred/n_gt
+    # fall out of one conditional aggregate over the per-(doc, cls, span)
+    # side flags (an entity span is unique within a side, so max() flags
+    # are exact).
     t = ser_tokens(_docs(spark, sf_dir))
-    gt = _entities(t, "gt_prefix", "gt_class")
-    pred = _entities(t, "pred_prefix", "pred_class")
-    tp = pred.join(gt, ["doc_id", "cls", "start_pos", "end_pos"], "inner")
-    counts = (
-        tp.agg(F.count("*").alias("tp"))
-        .crossJoin(pred.agg(F.count("*").alias("n_pred")))
-        .crossJoin(gt.agg(F.count("*").alias("n_gt")))
+    sides = t.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("g").alias("side"),
+                    F.col("gt_class").alias("cls"),
+                    F.col("gt_prefix").alias("prefix"),
+                ),
+                F.struct(
+                    F.lit("p").alias("side"),
+                    F.col("pred_class").alias("cls"),
+                    F.col("pred_prefix").alias("prefix"),
+                ),
+            )
+        ).alias("sd"),
+    ).select("doc_id", "pos", "sd.side", "sd.cls", "sd.prefix")
+    w = Window.partitionBy("doc_id", "side").orderBy("pos")
+    prev = F.lag(F.col("cls")).over(w)
+    is_ent = F.col("cls") != O_CLASS
+    begins = is_ent & (
+        (F.col("prefix") == "B")
+        | prev.isNull()
+        | (prev == O_CLASS)
+        | (prev != F.col("cls"))
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ents = (
+        sides.withColumn("begins", begins)
+        .withColumn("ent_id", F.sum(F.col("begins").cast("long")).over(wc))
+        .filter(is_ent)
+        .groupBy("doc_id", "side", "ent_id")
+        .agg(
+            F.min("cls").alias("cls"),
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+        )
+    )
+    spans = ents.groupBy("doc_id", "cls", "start_pos", "end_pos").agg(
+        F.max((F.col("side") == "p").cast("int")).alias("has_p"),
+        F.max((F.col("side") == "g").cast("int")).alias("has_g"),
+    )
+    counts = spans.agg(
+        F.sum(F.col("has_p") * F.col("has_g")).alias("tp"),
+        F.sum("has_p").alias("n_pred"),
+        F.sum("has_g").alias("n_gt"),
     )
     return counts.select(
         F.col("tp").cast("long").alias("tp"),

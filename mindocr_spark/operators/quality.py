@@ -534,21 +534,29 @@ def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct()
     )
+    # Round 7 (guide §2.3): sizes and hits were separate aggregate branches,
+    # so Catalyst evaluated the train-gram explode TWICE; a left-probe of
+    # the broadcast eval set + one conditional aggregate computes both
+    # counts in a single pass (eval_grams is distinct, so a gram matches at
+    # most once and count(hit) == the old inner-join count). Result rows
+    # identical (hash-oracled): the n_hits >= 1 filter reproduces the old
+    # inner-join's dropping of unflagged docs.
     tg = _decon_grams(train)
-    sizes = tg.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
-    hits = (
-        tg.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
-    return (
-        hits.join(sizes, "doc_id")
-        .select(
-            "doc_id",
-            "n_hits",
-            "n_grams",
-            F.expr("(10000 * n_hits) div n_grams").alias("hit_frac_bp"),
+    per_doc = (
+        tg.join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
         )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+    )
+    return per_doc.filter(F.col("n_hits") >= 1).select(
+        "doc_id",
+        "n_hits",
+        "n_grams",
+        F.expr("(10000 * n_hits) div n_grams").alias("hit_frac_bp"),
     )
 
 

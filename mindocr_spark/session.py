@@ -71,6 +71,12 @@ def get_spark(
         )
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Round 7: wide-aggregate codegen — the 129-column minhash
+        # aggregates exceed the default 100-field whole-stage-codegen
+        # ceiling and fell back to interpreted evaluation; 1024 keeps them
+        # compiled (paired in-session A/B: md5 minhash agg ~12% faster
+        # steady-state; one-time Janino compile absorbed by warmup).
+        .config("spark.sql.codegen.maxFields", "1024")
         # Round 7: python workers boot through our daemon shim, which
         # backports CPython 3.12's zipimport.invalidate_caches mtime check
         # (gh-87382). Without it, EVERY task's setup_spark_files re-parses
@@ -83,6 +89,14 @@ def get_spark(
             os.environ.get("MINDOCR_PYTHON_DAEMON", "mindocr_spark.spark_daemon"),
         )
     )
+    if os.name == "posix":
+        # Round 7: JVM<->python-worker channel over a unix domain socket
+        # (Spark 4.1 feature) — skips the localhost TCP stack + per-connect
+        # auth on every worker channel; measured ~5-10% off python-stage
+        # task latency (ABAB microbench, OPTIMIZATION_r07.md).
+        builder = builder.config(
+            "spark.python.unix.domain.socket.enabled", "true"
+        )
     # scale/deploy-specific overrides without code changes (e.g. a cluster
     # points MINDOCR_SPARK_EXTRA_CONF at its shuffle/io/codegen settings);
     # ';'-separated key=value pairs, applied last so they win

@@ -68,9 +68,26 @@ zipimport.zipimporter.invalidate_caches = _invalidate_if_changed  # type: ignore
 
 
 if __name__ == "__main__":
-    from pyspark.daemon import manager
+    import pyspark.daemon as _daemon
 
     # pyspark (and py4j) are now imported, so their zip finders exist:
     # prime the memo pre-fork so every worker inherits it warm
     _prime()
-    manager()
+
+    # teardown quieting: when the JVM dies at spark.stop(), a worker
+    # mid-flush sees EPIPE/ECONNRESET and the daemon child prints a
+    # traceback (daemon.py catches BaseException around its worker loop).
+    # That's the same already-measured-work shutdown window bench.py's
+    # _quiet_stop documents on the JVM side; report it as a plain dead
+    # worker (exit code 1) instead of stderr noise. Any other exception
+    # type still propagates and prints.
+    _stock_worker = _daemon.worker
+
+    def _quiet_worker(sock, authenticated):  # type: ignore[no-untyped-def]
+        try:
+            return _stock_worker(sock, authenticated)
+        except (BrokenPipeError, ConnectionResetError):
+            return 1
+
+    _daemon.worker = _quiet_worker
+    _daemon.manager()

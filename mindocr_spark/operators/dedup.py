@@ -582,6 +582,84 @@ SIMHASH_BANDED_HAMMING_MAX = 3
 N_SIMHASH_BANDS = 4  # 4 bands x 15 bits; pigeonhole: hamming<=3 => shared band
 
 
+def exact_hamming_pairs(
+    sig: DataFrame,
+    make_tables,
+    hmax: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    a_name: str = "doc_a",
+    b_name: str = "doc_b",
+) -> DataFrame:
+    """All (a < b) id pairs at ``bit_count(sig_a ^ sig_b) <= hmax``, given a
+    pigeonhole-complete key-table builder (bands or Manku combos over the
+    signature column) — the round-7 shared skeleton of every exact-hamming
+    near-dup operator (simhash 60/64-bit + image dHash).
+
+    Why this shape (identical output to the naive signature-level
+    self-join): mass-duplicated content collapses to ONE signature value,
+    and the naive join paid each identical-signature cluster's quadratic
+    once PER key table (x4 bands / x35 combos) before a distinct. Here
+
+    1. identical-signature pairs come from one plain equi-join on the
+       signature (hamming 0 by definition — no table fan-out, no
+       distinct);
+    2. the key tables enumerate DISTINCT signature values only, so the
+       bucket join emits unique (h1, h2) SIGNATURE pairs at hamming
+       1..hmax — cluster mass cannot multiply candidate volume;
+    3. member expansion joins each signature pair back to its ids —
+       output-proportional work, the only place cluster sizes multiply
+       (as they must: the pairs ARE the output).
+
+    ``make_tables`` maps a 1-column distinct-signature frame to
+    (sig_col, combo_id, combo_key) rows; both it and the expansion sides
+    are persisted by the caller's policy (persist_intermediate) because
+    they feed two join sides each.
+    """
+    sig = persist_intermediate(sig)
+    within = (
+        sig.alias("a")
+        .join(sig.alias("b"), sig_col)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(a_name),
+            F.col(f"b.{id_col}").alias(b_name),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    combos = persist_intermediate(make_tables(sig.select(sig_col).distinct()))
+    hpairs = (
+        combos.alias("a")
+        .join(combos.alias("b"), ["combo_id", "combo_key"])
+        .filter(F.col(f"a.{sig_col}") < F.col(f"b.{sig_col}"))
+        .select(
+            F.col(f"a.{sig_col}").alias("h1"),
+            F.col(f"b.{sig_col}").alias("h2"),
+            F.expr(
+                f"cast(bit_count(a.{sig_col} ^ b.{sig_col}) as int)"
+            ).alias("hamming"),
+        )
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= hmax))
+        .distinct()
+    )
+    cross = (
+        hpairs.join(
+            sig.select(F.col(sig_col).alias("h1"), F.col(id_col).alias("ida")),
+            "h1",
+        )
+        .join(
+            sig.select(F.col(sig_col).alias("h2"), F.col(id_col).alias("idb")),
+            "h2",
+        )
+        .select(
+            F.least("ida", "idb").alias(a_name),
+            F.greatest("ida", "idb").alias(b_name),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
+
+
 def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production SimHash near-dup: banded bucket-join candidate generation,
     then the exact hamming check.
@@ -603,42 +681,26 @@ def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate detection per Charikar SimHash, the operator the
     reference's corpus tooling lacks but a training-data pipeline needs.
     """
-    sig = simhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        F.expr(f"(simhash >> {15 * b}) & 32767").alias("band_key"),
-                    )
-                    for b in range(N_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_no", "band.band_key")
-    # both join sides reuse the band table; without a cache Catalyst
-    # recomputes the full signature aggregation twice
-    bands = persist_intermediate(bands)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, ["band_no", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
-        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+    def bands_of(distinct_sig: DataFrame) -> DataFrame:
+        return distinct_sig.select(
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("combo_id"),
+                            F.expr(f"(simhash >> {15 * b}) & 32767").alias(
+                                "combo_key"
+                            ),
+                        )
+                        for b in range(N_SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select("simhash", "band.combo_id", "band.combo_key")
+
+    return exact_hamming_pairs(
+        simhash_signatures(spark, sf_dir), bands_of, SIMHASH_BANDED_HAMMING_MAX
     )
 
 
@@ -697,7 +759,6 @@ def simhash_near_dup_manku(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from itertools import combinations
 
-    sig = simhash_signatures(spark, sf_dir)
     combos = list(combinations(range(N_MANKU_BLOCKS), _MANKU_PICK))
     structs = []
     for cid, combo in enumerate(combos):
@@ -710,29 +771,14 @@ def simhash_near_dup_manku(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(cid).alias("combo_id"), F.expr(key).alias("combo_key")
             )
         )
-    tabs = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*structs)).alias("c")
-    ).select("doc_id", "simhash", "c.combo_id", "c.combo_key")
-    # both join sides reuse the table; without persisting, Catalyst
-    # recomputes the signature aggregation per side
-    tabs = persist_intermediate(tabs)
-    a = tabs.alias("a")
-    b = tabs.alias("b")
-    cand = (
-        a.join(b, ["combo_id", "combo_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
-        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+
+    def tables_of(distinct_sig: DataFrame) -> DataFrame:
+        return distinct_sig.select(
+            "simhash", F.explode(F.array(*structs)).alias("c")
+        ).select("simhash", "c.combo_id", "c.combo_key")
+
+    return exact_hamming_pairs(
+        simhash_signatures(spark, sf_dir), tables_of, SIMHASH_BANDED_HAMMING_MAX
     )
 
 
@@ -826,29 +872,20 @@ def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming <= SIMHASH_BANDED_HAMMING_MAX by the same pigeonhole: <= 3 bit
     errors corrupt <= 3 of the 7 blocks, so every qualifying pair agrees
     exactly on some 4-block combination key."""
-    sig = simhash64_signatures(spark, sf_dir)
+    # Round 7: routed through exact_hamming_pairs (identical pair set;
+    # the hash oracle is the quadratic form, unchanged) — identical-
+    # signature clusters no longer multiply through the 35 combo tables.
     structs = manku64_combo_structs("simhash")
-    tabs = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*structs)).alias("c")
-    ).select("doc_id", "simhash", "c.combo_id", "c.combo_key")
-    tabs = persist_intermediate(tabs)
-    a = tabs.alias("a")
-    b = tabs.alias("b")
-    cand = (
-        a.join(b, ["combo_id", "combo_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
-        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+
+    def tables_of(distinct_sig: DataFrame) -> DataFrame:
+        return distinct_sig.select(
+            "simhash", F.explode(F.array(*structs)).alias("c")
+        ).select("simhash", "c.combo_id", "c.combo_key")
+
+    return exact_hamming_pairs(
+        simhash64_signatures(spark, sf_dir),
+        tables_of,
+        SIMHASH_BANDED_HAMMING_MAX,
     )
 
 

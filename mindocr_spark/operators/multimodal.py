@@ -242,20 +242,28 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`mindocr_spark.streaming.incremental.stream_image_dedup_flags`)."""
     from pyspark.sql import functions as F
 
-    from ..config import persist_intermediate
+    from .dedup import exact_hamming_pairs, manku64_combo_structs
 
-    sig = image_dhash_signatures(spark, sf_dir)
-    combos = persist_intermediate(image_combo_table(sig))
-    a = combos.alias("a")
-    b = combos.alias("b")
-    return (
-        a.join(b, ["combo_id", "combo_key"])
-        .filter(F.col("a.media_ref") < F.col("b.media_ref"))
-        .select(
-            F.col("a.media_ref").alias("ref_a"),
-            F.col("b.media_ref").alias("ref_b"),
-            F.expr("cast(bit_count(a.dhash ^ b.dhash) as int)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .distinct()
+    # Round 7: routed through dedup.exact_hamming_pairs (identical output
+    # set — see its docstring): rendered pages repeat across documents, so
+    # identical dHashes form large clusters, and the old signature-level
+    # combo self-join paid each cluster's quadratic 35x (once per Manku
+    # table) before the distinct; now identical-signature pairs come from
+    # one plain equi-join and the combo tables enumerate distinct
+    # signatures only.
+    structs = manku64_combo_structs("dhash")
+
+    def tables_of(distinct_sig):
+        return distinct_sig.select(
+            "dhash", F.explode(F.array(*structs)).alias("c")
+        ).select("dhash", "c.combo_id", "c.combo_key")
+
+    return exact_hamming_pairs(
+        image_dhash_signatures(spark, sf_dir),
+        tables_of,
+        PHASH_HAMMING_MAX,
+        id_col="media_ref",
+        sig_col="dhash",
+        a_name="ref_a",
+        b_name="ref_b",
     )

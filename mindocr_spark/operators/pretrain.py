@@ -488,30 +488,49 @@ def semdedup_flags(emb: DataFrame, n_cells: int | None = None) -> DataFrame:
     )
     from ..config import persist_intermediate
 
-    # (a) one-time coarse build: centroid -> nearest super (k x s dots)
-    w_c2s = Window.partitionBy("cent_id").orderBy(
-        F.col("dist").asc(), F.col("sup_id").asc()
-    )
+    # (a) one-time coarse build: centroid -> nearest super (k x s dots).
+    # Round 7: argmin as a map-side-combinable min_by aggregate — the
+    # ordering struct (dist, sup_id) IS the old window's "dist asc,
+    # sup_id asc rank 1" tie rule, so the k x s candidate rows collapse
+    # to one partial row per centroid BEFORE the exchange instead of
+    # shuffling + sorting every candidate (duplicate-key ties carry
+    # identical payloads, so min_by's pick is value-deterministic).
     cent2sup = persist_intermediate(
         cents.crossJoin(F.broadcast(sup))
         .withColumn("dist", F.round(F.expr(_L2_SPARK.format(a="ce", b="se")), 4))
-        .withColumn("rn", F.row_number().over(w_c2s))
-        .filter(F.col("rn") == 1)
-        .select("cent_id", "ce", "sup_id")
+        .groupBy("cent_id")
+        .agg(
+            F.min_by(
+                F.struct("ce", "sup_id"), F.struct("dist", "sup_id")
+            ).alias("m")
+        )
+        .select("cent_id", "m.ce", "m.sup_id")
     )
-    # (b) vector -> PROBES nearest super-cells (N x s dots)
+    # (b) vector -> PROBES nearest super-cells (N x s dots). Round 7: the
+    # rank window no longer carries the 64-dim embedding per candidate
+    # row — it ranks the NARROW (vec_id, sup_id, dist) projection (guide
+    # §2.3: project before the exchange) and the embedding re-attaches by
+    # vec_id afterwards, so the probe exchange moves 2 embeddings per
+    # vector instead of s.
     w_probe = Window.partitionBy("vec_id").orderBy(
         F.col("dist").asc(), F.col("sup_id").asc()
     )
-    probes = (
+    probe_cells = (
         emb.crossJoin(F.broadcast(sup))
-        .withColumn(
-            "dist", F.round(F.expr(_L2_SPARK.format(a="embedding", b="se")), 4)
+        .select(
+            "vec_id",
+            F.round(F.expr(_L2_SPARK.format(a="embedding", b="se")), 4).alias(
+                "dist"
+            ),
+            "sup_id",
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= SEMDEDUP_PROBES)
-        .select("vec_id", "embedding", "norm", "sup_id")
+        .select("vec_id", "sup_id")
     )
+    probes = probe_cells.join(
+        emb.select("vec_id", "embedding", "norm"), "vec_id"
+    ).select("vec_id", "embedding", "norm", "sup_id")
     # (c) candidates = centroids of the probed cells UNION the probed
     # supers themselves (duplicates harmless: identical (vec, cent, dist)
     # rows tie under the cent_id ordering and rank-1 output is identical)
@@ -525,18 +544,27 @@ def semdedup_flags(emb: DataFrame, n_cells: int | None = None) -> DataFrame:
     dists = cand.withColumn(
         "dist", F.round(F.expr(_L2_SPARK.format(a="embedding", b="ce")), 4)
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cent_id").asc()
-    )
     # persist the assignment: it feeds both sides of the pair join and the
     # final keep/drop projection (3 consumers) — at scale this is the
     # materialized cluster-assignment table of the SemDeDup recipe, not an
     # optional cache (persist_intermediate = the repo's explicit
-    # MEMORY_AND_DISK policy, not a bare .persist())
+    # MEMORY_AND_DISK policy, not a bare .persist()).
+    # Round 7: argmin via min_by (same (dist asc, cent_id asc) tie rule as
+    # the old rank-1 window; duplicate candidate rows from the cand union
+    # are value-identical, and embedding/norm are constant per vec_id, so
+    # the pick is value-deterministic) — map-side combinable, no
+    # candidate-row shuffle + sort.
     assigned = persist_intermediate(
-        dists.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm", F.col("cent_id").alias("cell"))
+        dists.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("embedding", "norm", "cent_id"),
+                F.struct("dist", "cent_id"),
+            ).alias("m")
+        )
+        .select(
+            "vec_id", "m.embedding", "m.norm", F.col("m.cent_id").alias("cell")
+        )
     )
     lo = assigned.select(
         F.col("cell"),

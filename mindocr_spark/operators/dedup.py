@@ -262,16 +262,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count("*").alias("n"),
     )
+    # Round 7: band identity as xxhash64(band_no, rows...) LONG keys
+    # instead of the old "b3:v|v" string concatenations — ~70-char string
+    # materialization and shuffle per band row gone. Candidate-set
+    # semantics are unchanged up to 2^-64 hash collisions, which only ADD
+    # candidates (equal band values always collide); the exact-jaccard
+    # verification stage removes any such false positive, so the VERIFIED
+    # output — the only output — is identical (same argument as the
+    # base-fingerprint collision note in _xxhash_bands).
     bands = mh.select(
         "doc_id",
         "n",
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"b{b}:"),
-                        F.concat_ws("|", *[F.col(c) for c in _band_cols(b)]),
-                    )
+                    F.xxhash64(F.lit(b), *[F.col(c) for c in _band_cols(b)])
                     for b in range(N_BANDS)
                 ]
             )

@@ -696,16 +696,26 @@ def boilerplate_clean(d: DataFrame) -> DataFrame:
     ``(doc_id, n_lines, n_removed, cleaned_text)`` — the actual cleaned
     text, which jobs/corpus_prep_job.py carries forward into packing; the
     registered query fingerprints it with md5 instead of shipping it."""
+    from ..config import persist_intermediate
+
     slots = d.sparkSession.sparkContext.defaultParallelism
     d = d.repartition(2 * slots, "doc_id")
-    lines = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_WORDS}.0) as int)), "
-                f"i -> array_join(slice(split(text, ' '), (i - 1) * {LINE_WORDS} + 1, {LINE_WORDS}), ' '))"
-            )
-        ).alias("idx", "line"),
+    # round 7: tokenize ONCE into a projected column — referencing
+    # split(text) inside the transform lambda made Catalyst re-split the
+    # text for every line index, O(words x lines) string work per doc
+    # (the _shingles lesson, dedup.py) — and persist the line table: it
+    # feeds both the cross-doc frequency count and the join-back, which
+    # otherwise re-ran the explode.
+    lines = persist_intermediate(
+        d.select("doc_id", F.split("text", " ").alias("toks")).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, cast(ceil(size(toks) / {LINE_WORDS}.0) as int)), "
+                    f"i -> array_join(slice(toks, (i - 1) * {LINE_WORDS} + 1, {LINE_WORDS}), ' '))"
+                )
+            ).alias("idx", "line"),
+        )
     )
     freq = lines.groupBy("line").agg(
         F.countDistinct("doc_id").alias("line_docs")
@@ -942,14 +952,21 @@ def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     slots = d.sparkSession.sparkContext.defaultParallelism
-    lines = d.repartition(2 * slots, "doc_id").select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_WORDS}.0) as int)), "
-                f"i -> array_join(slice(split(text, ' '), (i - 1) * {LINE_WORDS} + 1, {LINE_WORDS}), ' '))"
-            )
-        ).alias("idx", "line"),
+    # round 7: tokenize once into a projected column (the _shingles /
+    # boilerplate lesson — split(text) inside the lambda re-splits per
+    # line index, O(words x lines) per doc)
+    lines = (
+        d.repartition(2 * slots, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, cast(ceil(size(toks) / {LINE_WORDS}.0) as int)), "
+                    f"i -> array_join(slice(toks, (i - 1) * {LINE_WORDS} + 1, {LINE_WORDS}), ' '))"
+                )
+            ).alias("idx", "line"),
+        )
     )
     w = Window.partitionBy("doc_id", "line").orderBy("idx")
     tagged = lines.withColumn(

@@ -145,12 +145,16 @@ FROM v
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over word-5-gram shingles."""
+    # round 7: tokenize once into a projected column (the _shingles
+    # lesson — split(text) inside the lambda re-splits per gram index,
+    # O(tokens^2) string work per doc)
     grams = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' ')) - 4, 1)), "
-        "i -> md5(array_join(slice(split(text,' '), i, 5), ' ')))"
+        "transform(sequence(1, greatest(size(toks) - 4, 1)), "
+        "i -> md5(array_join(slice(toks, i, 5), ' ')))"
     )
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", F.array_min(grams).alias("fingerprint"))
     )
 

@@ -606,13 +606,12 @@ def exact_hamming_pairs(
     and the naive join paid each identical-signature cluster's quadratic
     once PER key table (x4 bands / x35 combos) before a distinct. Here
 
-    1. identical-signature pairs come from one plain equi-join on the
-       signature (hamming 0 by definition — no table fan-out, no
-       distinct);
-    2. the key tables enumerate DISTINCT signature values only, so the
+    1. the key tables enumerate DISTINCT signature values only, so the
        bucket join emits unique (h1, h2) SIGNATURE pairs at hamming
        1..hmax — cluster mass cannot multiply candidate volume;
-    3. member expansion joins each signature pair back to its ids —
+    2. identical-signature pairs are the (h, h, hamming 0) rows unioned
+       into the same signature-pair table (no separate self-join);
+    3. member expansion joins the signature pairs back to their ids —
        output-proportional work, the only place cluster sizes multiply
        (as they must: the pairs ARE the output).
 
@@ -622,18 +621,9 @@ def exact_hamming_pairs(
     they feed two join sides each.
     """
     sig = persist_intermediate(sig)
-    within = (
-        sig.alias("a")
-        .join(sig.alias("b"), sig_col)
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias(a_name),
-            F.col(f"b.{id_col}").alias(b_name),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    combos = persist_intermediate(make_tables(sig.select(sig_col).distinct()))
-    hpairs = (
+    distinct_sig = persist_intermediate(sig.select(sig_col).distinct())
+    combos = persist_intermediate(make_tables(distinct_sig))
+    near = (
         combos.alias("a")
         .join(combos.alias("b"), ["combo_id", "combo_key"])
         .filter(F.col(f"a.{sig_col}") < F.col(f"b.{sig_col}"))
@@ -647,7 +637,20 @@ def exact_hamming_pairs(
         .filter((F.col("hamming") >= 1) & (F.col("hamming") <= hmax))
         .distinct()
     )
-    cross = (
+    # identical-signature pairs ride the SAME expansion as (h, h, 0) rows
+    # (no separate signature self-join): for h1 < h2 each unordered member
+    # pair appears exactly once (sides drawn from different groups) and is
+    # canonicalized by least/greatest; for h1 == h2 the expansion produces
+    # both orders plus self-pairs, which the (h1 != h2) | (ida < idb)
+    # filter cuts to exactly the a < b pairs.
+    hpairs = near.unionByName(
+        distinct_sig.select(
+            F.col(sig_col).alias("h1"),
+            F.col(sig_col).alias("h2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return (
         hpairs.join(
             sig.select(F.col(sig_col).alias("h1"), F.col(id_col).alias("ida")),
             "h1",
@@ -656,13 +659,13 @@ def exact_hamming_pairs(
             sig.select(F.col(sig_col).alias("h2"), F.col(id_col).alias("idb")),
             "h2",
         )
+        .filter((F.col("h1") != F.col("h2")) | (F.col("ida") < F.col("idb")))
         .select(
             F.least("ida", "idb").alias(a_name),
             F.greatest("ida", "idb").alias(b_name),
             "hamming",
         )
     )
-    return within.unionByName(cross)
 
 
 def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:

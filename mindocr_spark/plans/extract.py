@@ -187,7 +187,15 @@ def load_corpus(spark: SparkSession, corpus_dir: str) -> tuple[DataFrame, DataFr
 
 
 def _exploded_spans(spans: DataFrame) -> DataFrame:
-    s = spans.select("doc_id", F.explode("spans").alias("span"))
+    """One row per span, plus one all-null row per EMPTY document
+    (``explode_outer``): the null row carries the doc_id through the
+    reassembly so an empty document still yields its empty out_spans row
+    without the round-1..6 ``all_docs.distinct() + left join`` restore
+    (round 7: that was a per-doc aggregate + exchange + sort-merge join
+    on the critical path of every flagship variant; the null rows ride
+    the existing text-path union instead and vanish inside the final
+    null-skipping collect_list)."""
+    s = spans.select("doc_id", F.explode_outer("spans").alias("span"))
     return s.select(
         "doc_id",
         F.col("span.kind").alias("kind"),
@@ -313,6 +321,17 @@ def extract(
     media_spans = s.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref"
     )
+    # empty documents: explode_outer's all-null rows (kind IS NULL) ride
+    # the union with a null offset and disappear inside the null-skipping
+    # collect_list below, leaving exactly one empty out_spans row per
+    # empty doc (replaces the old all_docs distinct + left-join restore)
+    empty_docs = s.filter(F.col("kind").isNull()).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("offset"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("kind"),
+    )
     if mode == "fused":
         media_texts = _media_texts_fused(media_spans, media)
     elif mode == "exploded":
@@ -322,41 +341,30 @@ def extract(
     media_out = media_texts.select(
         "doc_id", "offset", "media_ref", "text", F.lit("media").alias("kind")
     )
-    all_spans = text_spans.unionByName(media_out)
+    all_spans = text_spans.unionByName(media_out).unionByName(empty_docs)
+    # the span struct is NULL (skipped by collect_list) exactly for the
+    # empty-doc marker rows, so every doc — including empty ones — gets
+    # its one group row with the correct (possibly empty) array and no
+    # restore join is needed
+    span_struct = F.when(
+        F.col("offset").isNotNull(),
+        F.struct("offset", "kind", "text", "media_ref"),
+    )
     if salt_buckets > 0:
         partial = (
             all_spans.withColumn(
                 "salt", F.pmod(F.hash("doc_id", "offset"), F.lit(salt_buckets))
             )
             .groupBy("doc_id", "salt")
-            .agg(
-                F.collect_list(
-                    F.struct("offset", "kind", "text", "media_ref")
-                ).alias("part")
-            )
+            .agg(F.collect_list(span_struct).alias("part"))
         )
         collected = partial.groupBy("doc_id").agg(
             F.sort_array(F.flatten(F.collect_list("part"))).alias("arr")
         )
     else:
         collected = all_spans.groupBy("doc_id").agg(
-            F.sort_array(
-                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-            ).alias("arr")
+            F.sort_array(F.collect_list(span_struct)).alias("arr")
         )
-    # documents whose spans array is empty never survive the explode; they
-    # must still yield a row with an empty out_spans array
-    all_docs = spans.select("doc_id").distinct()
-    collected = all_docs.join(collected, "doc_id", "left").withColumn(
-        "arr",
-        F.coalesce(
-            F.col("arr"),
-            F.expr(
-                "cast(array() as array<struct<offset:int,kind:string,"
-                "text:string,media_ref:string>>)"
-            ),
-        ),
-    )
     return collected.select(
         "doc_id",
         F.expr(

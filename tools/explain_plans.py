@@ -7,7 +7,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 6)
+PREAMBLE = """# PLANS — formatted physical plans (sf0.01, round 7)
 
 Plan-quality notes: every BroadcastNestedLoopJoin in this file has a
 broadcast tiny side — cosine_topk's query set (intentional: the exact
@@ -65,6 +65,28 @@ candidate prefilter is a broadcast cell equi-join.
 sequence_packing_grouped shows the per-(source, lang) variant of the
 two-phase prefix sum: the grouped bucket-totals window replaces the
 single-partition global one.
+
+Round-7 optimization changes visible in these plans (see
+OPTIMIZATION_r07.md for the measurements): the flagship's CPU-spread
+exchange now moves the 3-column span keys BELOW the media broadcast join
+(payloads attach in place) and the empty-doc restore join is gone
+(explode_outer + null-skipping collect_list — fused plan: 2 exchanges,
+no SortMergeJoin). The PQ/IVFADC argmins (pq_codes nearest-codebook,
+ivf_pq_topk cell assignment) and semdedup's three argmins are
+min(struct)/min_by HashAggregates instead of rank windows — partial
+aggregation collapses the candidate fan-out before the exchange; only
+query-side probe rankings (<= N_QUERIES rows) remain windows.
+minhash_lsh_pairs' band keys are xxhash64 longs (the _xxhash_bands
+construction) instead of string concatenations. The exact-hamming family
+(simhash banded/manku/64, image dHash) shares the exact_hamming_pairs
+skeleton: key tables over DISTINCT signatures, (h,h,0) self-rows, member
+expansion — identical output, duplicate-cluster-safe candidate volume.
+ser_seqeval_metric is one side-exploded window chain + one conditional
+aggregate (was four window chains across three aggregate branches);
+decontamination_flags is one left-probe of the broadcast eval set + one
+conditional aggregate. Wide minhash aggregates compile under
+spark.sql.codegen.maxFields=1024 (they ran interpreted at the default
+100 — not visible in formatted explain, documented here).
 """
 
 

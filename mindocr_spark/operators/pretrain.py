@@ -528,9 +528,14 @@ def semdedup_flags(emb: DataFrame, n_cells: int | None = None) -> DataFrame:
         .filter(F.col("rn") <= SEMDEDUP_PROBES)
         .select("vec_id", "sup_id")
     )
-    probes = probe_cells.join(
-        emb.select("vec_id", "embedding", "norm"), "vec_id"
-    ).select("vec_id", "embedding", "norm", "sup_id")
+    # persisted: BOTH cand union branches consume probes (round 7 — the
+    # plan gate caught the unpersisted double compute of the N x s dots +
+    # probe ranking)
+    probes = persist_intermediate(
+        probe_cells.join(
+            emb.select("vec_id", "embedding", "norm"), "vec_id"
+        ).select("vec_id", "embedding", "norm", "sup_id")
+    )
     # (c) candidates = centroids of the probed cells UNION the probed
     # supers themselves (duplicates harmless: identical (vec, cent, dist)
     # rows tie under the cent_id ordering and rank-1 output is identical)

@@ -689,26 +689,50 @@ def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate detection per Charikar SimHash, the operator the
     reference's corpus tooling lacks but a training-data pipeline needs.
     """
-    def bands_of(distinct_sig: DataFrame) -> DataFrame:
-        return distinct_sig.select(
-            "simhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("combo_id"),
-                            F.expr(f"(simhash >> {15 * b}) & 32767").alias(
-                                "combo_key"
-                            ),
-                        )
-                        for b in range(N_SIMHASH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        ).select("simhash", "band.combo_id", "band.combo_key")
-
-    return exact_hamming_pairs(
-        simhash_signatures(spark, sf_dir), bands_of, SIMHASH_BANDED_HAMMING_MAX
+    # round 7: this operator is the documented SMALL-CORPUS form (see the
+    # docstring's last paragraph — past the 2^15 keyspace ceiling the
+    # Manku/64-bit twins take over), so it keeps the cheaper direct
+    # signature-level join; the three scale forms (simhash_near_dup_manku,
+    # simhash64_near_dup, image_near_dup) run the duplicate-cluster-safe
+    # exact_hamming_pairs skeleton instead.
+    sig = simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.expr(f"(simhash >> {15 * b}) & 32767").alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(N_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_no", "band.band_key")
+    # both join sides reuse the band table; without a cache Catalyst
+    # recomputes the full signature aggregation twice
+    bands = persist_intermediate(bands)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(F.col("hamming") <= SIMHASH_BANDED_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
